@@ -1,0 +1,546 @@
+"""Molecular graph object and sanitization.
+
+Our own minimal analogue of RDKit's ``Mol``/``RWMol`` (used throughout the
+reference, e.g. ``src/data/dataset.py:205-229``).  A :class:`Mol` is a plain
+adjacency-list graph of :class:`Atom` and :class:`Bond`; sanitization
+computes implicit hydrogens, checks valences, verifies aromaticity, and
+kekulizes aromatic systems.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from druggen_tpu.chem import periodic
+
+
+class BondType(enum.IntEnum):
+    """Bond orders.  Integer values give the vocabulary class ordering used by
+    :mod:`druggen_tpu.chem.vocab` (PAD/ZERO=0, then single<double<triple<
+    aromatic), matching the reference's sorted-BondType convention
+    (``src/data/utils.py:101-103``: ``[BondType.ZERO] + sorted(bond_labels)``
+    with RDKit enum order SINGLE=1 < DOUBLE=2 < TRIPLE=3 < AROMATIC=12)."""
+
+    ZERO = 0
+    SINGLE = 1
+    DOUBLE = 2
+    TRIPLE = 3
+    AROMATIC = 4
+
+    @property
+    def order(self) -> float:
+        return {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 1.5}[int(self)]
+
+
+class SanitizeError(ValueError):
+    """Raised when a molecule fails sanitization (valence/aromaticity).
+
+    Mirrors the role of RDKit's sanitization exceptions caught by the
+    reference (``src/data/dataset.py:224-228``).  ``atom_idx``/``valence``
+    let callers implement the bond-removal repair loop of
+    ``dataset.py:251-277`` without parsing the message string."""
+
+    def __init__(self, msg: str, atom_idx: int | None = None, valence: float | None = None):
+        super().__init__(msg)
+        self.atom_idx = atom_idx
+        self.valence = valence
+
+
+@dataclass
+class Atom:
+    atomic_num: int
+    charge: int = 0
+    aromatic: bool = False
+    explicit_hs: int | None = None   # bracket-atom H count, None => implicit
+    isotope: int = 0
+    # filled by sanitize():
+    implicit_hs: int = 0
+    in_ring: bool = False
+
+    @property
+    def symbol(self) -> str:
+        return periodic.NUM_TO_SYMBOL.get(self.atomic_num, f"#{self.atomic_num}")
+
+    def total_hs(self) -> int:
+        return self.implicit_hs if self.explicit_hs is None else self.explicit_hs
+
+
+@dataclass
+class Bond:
+    a1: int
+    a2: int
+    type: BondType
+
+    def other(self, idx: int) -> int:
+        return self.a2 if idx == self.a1 else self.a1
+
+
+@dataclass
+class Mol:
+    atoms: list[Atom] = field(default_factory=list)
+    bonds: list[Bond] = field(default_factory=list)
+    # adjacency: atom idx -> list of bond indices (rebuilt lazily)
+    _adj: list[list[int]] | None = None
+    # kekulé assignment: set of frozenset((a1,a2)) aromatic bonds that are
+    # double in the kekulé structure (filled by sanitize()).
+    _kekule_double: set[frozenset[int]] | None = None
+    sanitized: bool = False
+
+    # ---------------------------------------------------------------- basic
+    def num_atoms(self) -> int:
+        return len(self.atoms)
+
+    def num_bonds(self) -> int:
+        return len(self.bonds)
+
+    def add_atom(self, atom: Atom) -> int:
+        self.atoms.append(atom)
+        self._adj = None
+        self._kekule_double = None
+        self.sanitized = False
+        return len(self.atoms) - 1
+
+    def add_bond(self, a1: int, a2: int, btype: BondType) -> int:
+        if a1 == a2:
+            raise ValueError("self-bond")
+        if self.get_bond(a1, a2) is not None:
+            raise ValueError(f"duplicate bond {a1}-{a2}")
+        self.bonds.append(Bond(a1, a2, btype))
+        self._adj = None
+        self._kekule_double = None
+        self.sanitized = False
+        return len(self.bonds) - 1
+
+    def remove_bond(self, a1: int, a2: int) -> None:
+        for i, b in enumerate(self.bonds):
+            if {b.a1, b.a2} == {a1, a2}:
+                del self.bonds[i]
+                self._adj = None
+                self._kekule_double = None
+                self.sanitized = False
+                return
+        raise ValueError(f"no bond {a1}-{a2}")
+
+    def adj(self) -> list[list[int]]:
+        if self._adj is None:
+            adj: list[list[int]] = [[] for _ in self.atoms]
+            for bi, b in enumerate(self.bonds):
+                adj[b.a1].append(bi)
+                adj[b.a2].append(bi)
+            self._adj = adj
+        return self._adj
+
+    def neighbors(self, idx: int) -> list[int]:
+        return [self.bonds[bi].other(idx) for bi in self.adj()[idx]]
+
+    def get_bond(self, a1: int, a2: int) -> Bond | None:
+        for bi in self.adj()[a1] if self._adj is not None else range(len(self.bonds)):
+            b = self.bonds[bi] if isinstance(bi, int) else bi
+            if {b.a1, b.a2} == {a1, a2}:
+                return b
+        return None
+
+    def degree(self, idx: int) -> int:
+        return len(self.adj()[idx])
+
+    def explicit_valence(self, idx: int) -> float:
+        """Sum of bond orders around the atom plus bracket-specified explicit
+        hydrogens.  Aromatic bonds count with their kekulé order (1 or 2) when
+        a kekulé assignment is available (after :meth:`sanitize`), else 1.5."""
+        v = 0.0
+        for bi in self.adj()[idx]:
+            b = self.bonds[bi]
+            if b.type == BondType.AROMATIC and self._kekule_double is not None:
+                v += 2.0 if frozenset((b.a1, b.a2)) in self._kekule_double else 1.0
+            else:
+                v += b.type.order
+        a = self.atoms[idx]
+        if a.explicit_hs is not None:
+            v += a.explicit_hs
+        return v
+
+    # ---------------------------------------------------------------- rings
+    def ring_info(self) -> list[list[int]]:
+        """Smallest set of smallest rings (Horton-style).
+
+        For every bond, find the smallest cycle through it (BFS between its
+        endpoints avoiding the bond itself), then greedily select cycles in
+        increasing size keeping only those GF(2)-independent in edge space,
+        until the cyclomatic number is reached.  Exact enough for ring
+        membership, aromaticity and descriptors on drug-sized molecules
+        (analogue of RDKit's GetSSSR used implicitly throughout the
+        reference's chemistry)."""
+        n = self.num_atoms()
+        m = self.num_bonds()
+        if m == 0:
+            return []
+        comps = len(self.connected_components())
+        cyclomatic = m - n + comps
+        if cyclomatic <= 0:
+            return []
+        bond_index = {frozenset((b.a1, b.a2)): bi
+                      for bi, b in enumerate(self.bonds)}
+
+        candidates: list[tuple[int, int, list[int]]] = []  # (size, mask, atoms)
+        seen_rings: set[int] = set()
+        for b in self.bonds:
+            cyc = self._smallest_cycle_through(b.a1, b.a2)
+            if cyc is None:
+                continue
+            mask = 0
+            ok = True
+            for idx in range(len(cyc)):
+                e = frozenset((cyc[idx], cyc[(idx + 1) % len(cyc)]))
+                bi = bond_index.get(e)
+                if bi is None:
+                    ok = False
+                    break
+                mask |= 1 << bi
+            if ok and mask not in seen_rings:
+                seen_rings.add(mask)
+                candidates.append((len(cyc), mask, cyc))
+        candidates.sort(key=lambda t: t[0])
+
+        # GF(2) linear basis over edge-incidence bitmasks (keyed by top bit)
+        basis: dict[int, int] = {}
+        chosen: list[list[int]] = []
+        for _, mask, cyc in candidates:
+            v = mask
+            while v:
+                h = v.bit_length() - 1
+                if h in basis:
+                    v ^= basis[h]
+                else:
+                    basis[h] = v
+                    chosen.append(cyc)
+                    break
+            if len(chosen) == cyclomatic:
+                break
+        return chosen
+
+    def _smallest_cycle_through(self, u: int, v: int) -> list[int] | None:
+        """Atoms of the smallest cycle containing bond (u,v), or None."""
+        n = self.num_atoms()
+        prev = [-1] * n
+        seen = [False] * n
+        seen[u] = True
+        q = [u]
+        while q and not seen[v]:
+            nq = []
+            for x in q:
+                for y in self.neighbors(x):
+                    if x == u and y == v:
+                        continue
+                    if not seen[y]:
+                        seen[y] = True
+                        prev[y] = x
+                        nq.append(y)
+            q = nq
+        if not seen[v]:
+            return None
+        path = [v]
+        while path[-1] != u:
+            path.append(prev[path[-1]])
+        return path
+
+    def rings_of_size(self, size: int) -> list[list[int]]:
+        return [r for r in self.ring_info() if len(r) == size]
+
+    def num_rings(self) -> int:
+        """Number of rings = cyclomatic number per connected component sum
+        (matches RDKit's GetRingInfo().NumRings() for SSSR)."""
+        n = self.num_atoms()
+        seen = [False] * n
+        comps = 0
+        for i in range(n):
+            if not seen[i]:
+                comps += 1
+                stack = [i]
+                seen[i] = True
+                while stack:
+                    u = stack.pop()
+                    for v in self.neighbors(u):
+                        if not seen[v]:
+                            seen[v] = True
+                            stack.append(v)
+        return self.num_bonds() - n + comps
+
+    # ------------------------------------------------------------ sanitize
+    def sanitize(self) -> "Mol":
+        """Compute ring membership + implicit Hs, validate valences and
+        aromaticity, and kekulize-check aromatic systems.
+
+        Raises :class:`SanitizeError` on failure.  Plays the role of RDKit's
+        ``Chem.SanitizeMol`` as used by the reference codec
+        (``src/data/dataset.py:224-228,242``)."""
+        self._adj = None
+        self._kekule_double = None
+        # ring membership
+        ring_atoms: set[int] = set()
+        for r in self.ring_info():
+            ring_atoms.update(r)
+        for i, a in enumerate(self.atoms):
+            a.in_ring = i in ring_atoms
+
+        # aromatic bonds must be in rings, aromatic atoms must have an
+        # aromatic bond in a ring
+        for b in self.bonds:
+            if b.type == BondType.AROMATIC:
+                if not (self.atoms[b.a1].in_ring and self.atoms[b.a2].in_ring):
+                    raise SanitizeError(
+                        f"aromatic bond {b.a1}-{b.a2} outside a ring")
+                self.atoms[b.a1].aromatic = True
+                self.atoms[b.a2].aromatic = True
+        for i, a in enumerate(self.atoms):
+            if a.aromatic:
+                if not a.in_ring:
+                    raise SanitizeError(f"aromatic atom {i} not in a ring",
+                                        atom_idx=i)
+                if a.atomic_num not in periodic.AROMATIC_ELEMENTS:
+                    raise SanitizeError(
+                        f"element {a.symbol} cannot be aromatic", atom_idx=i)
+
+        self._kekulize()
+        self._huckel_check()
+
+        # implicit hydrogens + valence check (explicit_valence now uses
+        # kekulé bond orders for aromatic bonds)
+        for i, a in enumerate(self.atoms):
+            ev = self.explicit_valence(i)
+            if a.explicit_hs is None:
+                dv = periodic.default_valence(a.atomic_num, ev, a.charge)
+                if dv is None:
+                    a.implicit_hs = 0
+                else:
+                    a.implicit_hs = max(int(round(dv - ev)), 0)
+                if a.aromatic and a.atomic_num == 7 and a.charge == 0:
+                    # aromatic neutral N without written H (pyridine-type) has
+                    # no implicit H; pyrrole N must be written [nH]
+                    a.implicit_hs = 0
+            total = ev + (0 if a.explicit_hs is not None else a.implicit_hs)
+            mv = periodic.max_allowed_valence(a.atomic_num, a.charge)
+            if mv is not None and total > mv + 1e-6:
+                raise SanitizeError(
+                    f"Explicit valence for atom # {i} {a.symbol}, {total} is "
+                    f"greater than permitted", atom_idx=i, valence=total)
+        self.sanitized = True
+        return self
+
+    def assign_implicit_hs_best_effort(self) -> "Mol":
+        """Non-throwing subset of :meth:`sanitize` for writing SMILES of
+        possibly-invalid decoded graphs (the reference's strict=False decode
+        path, ``inference.py:197-208``, leans on RDKit's lenient writer the
+        same way).  Computes ring membership, a kekulé assignment if one
+        exists, and clamped implicit hydrogens; never raises."""
+        self._adj = None
+        self._kekule_double = None
+        try:
+            ring_atoms: set[int] = set()
+            for r in self.ring_info():
+                ring_atoms.update(r)
+            for i, a in enumerate(self.atoms):
+                a.in_ring = i in ring_atoms
+        except Exception:
+            pass
+        for b in self.bonds:
+            if b.type == BondType.AROMATIC:
+                self.atoms[b.a1].aromatic = True
+                self.atoms[b.a2].aromatic = True
+        try:
+            self._kekulize()
+        except SanitizeError:
+            self._kekule_double = None
+        for i, a in enumerate(self.atoms):
+            if a.explicit_hs is not None:
+                continue
+            ev = self.explicit_valence(i)
+            dv = periodic.default_valence(a.atomic_num, ev, a.charge)
+            a.implicit_hs = 0 if dv is None else max(int(round(dv - ev)), 0)
+            if a.aromatic and a.atomic_num == 7 and a.charge == 0:
+                a.implicit_hs = 0
+        return self
+
+    def _kekulize(self) -> None:
+        """Find a kekulé structure for the aromatic subgraph (and record it in
+        ``self._kekule_double``), or raise :class:`SanitizeError`.
+
+        Every aromatic atom that *needs* a pi bond must be perfectly matched
+        to an aromatic neighbour that also needs one.  Atoms contributing a
+        lone pair (furan O, pyrrole-type [nH]/n(-R)(-R), anions) or already
+        carrying an exocyclic double bond don't need one.  Exact backtracking
+        matching — aromatic systems are small, so worst-case cost is fine."""
+        needs: list[int] = []
+        for i, a in enumerate(self.atoms):
+            if not a.aromatic:
+                continue
+            if self._contributes_lone_pair(i):
+                continue
+            has_double = any(self.bonds[bi].type == BondType.DOUBLE
+                             for bi in self.adj()[i])
+            if not has_double:
+                needs.append(i)
+        need_set = set(needs)
+        nbrs = {i: [j for j in self.neighbors(i)
+                    if j in need_set and
+                    self.get_bond(i, j).type == BondType.AROMATIC]
+                for i in needs}
+
+        matched: dict[int, int] = {}
+        budget = [200_000]  # step cap: adversarial generated graphs can have
+        # huge tangled aromatic systems; treat exceeding it as a failure
+
+        def backtrack(remaining: tuple[int, ...]) -> bool:
+            if not remaining:
+                return True
+            budget[0] -= 1
+            if budget[0] < 0:
+                raise SanitizeError("kekulization step budget exceeded")
+            u = remaining[0]
+            rest = remaining[1:]
+            for v in nbrs[u]:
+                if v in matched or v not in need_set:
+                    continue
+                matched[u] = v
+                matched[v] = u
+                new_rest = tuple(x for x in rest if x != v)
+                if backtrack(new_rest):
+                    return True
+                del matched[u]
+                del matched[v]
+            return False
+
+        if not backtrack(tuple(needs)):
+            bad = next((u for u in needs if u not in matched), needs[0] if needs else 0)
+            raise SanitizeError(
+                f"cannot kekulize aromatic system around atom {bad}",
+                atom_idx=bad)
+        self._kekule_double = {frozenset((u, v)) for u, v in matched.items()}
+
+    def _huckel_check(self) -> None:
+        """Reject anti-aromatic systems: each connected aromatic component
+        must satisfy Hückel's 4n+2 rule, either in one of its SSSR rings or
+        for the component's total pi count (the latter admits azulene-type
+        peripherally-aromatic fused systems).
+
+        Pi-electron contributions: lone-pair donors (furan O, pyrrole N...)
+        give 2; atoms holding a (kekulé or explicit) double bond to another
+        aromatic atom give 1; atoms with an exocyclic double bond (pyridinone
+        C) or an empty orbital (aromatic carbocation) give 0."""
+        n = self.num_atoms()
+        comp = [-1] * n
+        c = 0
+        for i, a in enumerate(self.atoms):
+            if not a.aromatic or comp[i] != -1:
+                continue
+            stack = [i]
+            comp[i] = c
+            while stack:
+                u = stack.pop()
+                for bi in self.adj()[u]:
+                    b = self.bonds[bi]
+                    if b.type != BondType.AROMATIC:
+                        continue
+                    v = b.other(u)
+                    if self.atoms[v].aromatic and comp[v] == -1:
+                        comp[v] = c
+                        stack.append(v)
+            c += 1
+        if c == 0:
+            return
+
+        def pi(i: int) -> int:
+            if self._contributes_lone_pair(i):
+                return 2
+            for bi in self.adj()[i]:
+                b = self.bonds[bi]
+                j = b.other(i)
+                if b.type == BondType.DOUBLE and self.atoms[j].aromatic:
+                    return 1
+                if (b.type == BondType.AROMATIC and self._kekule_double
+                        and frozenset((b.a1, b.a2)) in self._kekule_double):
+                    return 1
+            return 0
+
+        rings = self.ring_info()
+        for ci in range(c):
+            members = [i for i in range(n) if comp[i] == ci]
+            total = sum(pi(i) for i in members)
+            ok = total % 4 == 2
+            if not ok:
+                member_set = set(members)
+                for r in rings:
+                    if set(r) <= member_set:
+                        rtot = sum(pi(i) for i in r)
+                        if rtot % 4 == 2:
+                            ok = True
+                            break
+            if not ok:
+                raise SanitizeError(
+                    f"aromatic system {{{members[0]}...}} violates Hückel "
+                    f"4n+2 (pi={total})", atom_idx=members[0])
+
+    def _contributes_lone_pair(self, i: int) -> bool:
+        a = self.atoms[i]
+        if a.atomic_num in (8, 16, 34):      # aromatic O/S/Se: furan-type
+            return True
+        if a.atomic_num in (7, 15, 33):
+            # [nH] or three-connected neutral n (pyrrole-type) contributes a
+            # lone pair; two-connected neutral n (pyridine) does not.
+            if (a.explicit_hs or 0) > 0:
+                return True
+            if a.charge == 0 and self.degree(i) == 3:
+                return True
+            if a.charge == -1:
+                return True
+        if a.atomic_num == 6 and a.charge == -1:
+            return True
+        return False
+
+    # ------------------------------------------------------------ utility
+    def heavy_atom_mol_weight(self) -> float:
+        return sum(periodic.ATOMIC_MASS.get(a.atomic_num, 0.0) for a in self.atoms)
+
+    def mol_weight(self) -> float:
+        w = self.heavy_atom_mol_weight()
+        w += sum(a.total_hs() for a in self.atoms) * periodic.ATOMIC_MASS[1]
+        return w
+
+    def exact_mol_weight(self) -> float:
+        w = sum(periodic.MONOISOTOPIC_MASS.get(a.atomic_num,
+                periodic.ATOMIC_MASS.get(a.atomic_num, 0.0))
+                for a in self.atoms)
+        w += sum(a.total_hs() for a in self.atoms) * periodic.MONOISOTOPIC_MASS[1]
+        return w
+
+    def connected_components(self) -> list[list[int]]:
+        n = self.num_atoms()
+        seen = [False] * n
+        comps = []
+        for i in range(n):
+            if seen[i]:
+                continue
+            comp = [i]
+            seen[i] = True
+            stack = [i]
+            while stack:
+                u = stack.pop()
+                for v in self.neighbors(u):
+                    if not seen[v]:
+                        seen[v] = True
+                        comp.append(v)
+                        stack.append(v)
+            comps.append(comp)
+        return comps
+
+    def submol(self, atom_indices: list[int]) -> "Mol":
+        """Extract the induced subgraph as a new Mol (atoms deep-copied)."""
+        import copy
+        remap = {old: new for new, old in enumerate(atom_indices)}
+        m = Mol()
+        for old in atom_indices:
+            m.atoms.append(copy.copy(self.atoms[old]))
+        for b in self.bonds:
+            if b.a1 in remap and b.a2 in remap:
+                m.bonds.append(Bond(remap[b.a1], remap[b.a2], b.type))
+        return m
