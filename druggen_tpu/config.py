@@ -1,0 +1,156 @@
+"""Configuration system.
+
+Dataclass configs with an argparse front-end reproducing every reference
+flag and derivation rule (reference ``train.py:400-459`` and
+``inference.py:293-323``): dataset cache names derive from raw-file basename
++ max_atom, the run-name string encodes hyperparameters, and the
+DrugGEN-submodel guard requires a drug file.
+
+TPU-specific additions (not in the reference): ``platform``, ``compute_dtype``,
+``pad_vertices_to``, ``use_pallas``, mesh shape flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TrainConfig:
+    # Data (reference train.py:404-408)
+    raw_file: str = ""
+    drug_raw_file: str = ""
+    drug_data_dir: str = "data"
+    mol_data_dir: str = "data"
+    features: bool = False
+
+    # Model (reference train.py:411-421)
+    submodel: str = "DrugGEN"            # DrugGEN | NoTarget
+    act: str = "relu"
+    max_atom: int = 45
+    dim: int = 128
+    depth: int = 1
+    ddepth: int = 1
+    heads: int = 8
+    mlp_ratio: int = 3
+    dropout: float = 0.0
+    ddropout: float = 0.0
+    lambda_gp: float = 10.0
+
+    # Training (reference train.py:424-433)
+    batch_size: int = 128
+    epoch: int = 10
+    g_lr: float = 1e-5
+    d_lr: float = 1e-5
+    beta1: float = 0.9
+    beta2: float = 0.999
+    log_dir: str = "experiments/logs"
+    sample_dir: str = "experiments/samples"
+    model_save_dir: str = "experiments/models"
+    log_sample_step: int = 1000
+
+    # Resume (reference train.py:436-439)
+    resume: bool = False
+    resume_epoch: int | None = None
+    resume_iter: int | None = None
+    resume_directory: str | None = None
+
+    # Seed / logging (reference train.py:442-449)
+    set_seed: bool = False
+    seed: int = 1
+    use_wandb: bool = False
+    online: bool = False
+    exp_name: str = "druggen"
+    parallel: bool = False
+
+    # --- TPU-native extensions ---
+    platform: str | None = None          # None => let jax pick; "cpu" forces
+    compute_dtype: str = "float32"       # "float32" | "bfloat16"
+    use_pallas: bool = False             # fused edge-attention kernel
+    mesh_data: int = 0                   # 0 => all visible devices on 'data'
+    adam_weight_decay: float = 0.01      # torch AdamW default (reference
+    # train.py:213-214 uses torch.optim.AdamW default weight_decay)
+
+    @property
+    def run_name(self) -> str:
+        """Reference run-name scheme (train.py:159)."""
+        import os
+        dataset_name = (os.path.splitext(os.path.basename(self.raw_file))[0]
+                        + str(self.max_atom)) if self.raw_file else "none"
+        return (f"{self.exp_name}_{self.submodel}_glr{self.g_lr}_dlr{self.d_lr}"
+                f"_dim{self.dim}_depth{self.depth}_heads{self.heads}"
+                f"_batch{self.batch_size}_epoch{self.epoch}"
+                f"_dataset{dataset_name}_dropout{self.dropout}")
+
+
+@dataclass
+class InferenceConfig:
+    # reference inference.py:297-317
+    submodel: str = "DrugGEN"
+    inference_model: str = ""
+    sample_num: int = 100
+    disable_correction: bool = False
+    inf_smiles: str = ""
+    train_smiles: str = ""
+    train_drug_smiles: str = ""
+    inf_batch_size: int = 1
+    mol_data_dir: str = "data"
+    features: bool = False
+    act: str = "relu"
+    max_atom: int = 45
+    dim: int = 128
+    depth: int = 1
+    heads: int = 8
+    mlp_ratio: int = 3
+    dropout: float = 0.0
+    set_seed: bool = False
+    seed: int = 1
+    # TPU-native extensions
+    platform: str | None = None
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+    output_dir: str = "experiments/inference"
+
+
+def _add_fields(parser: argparse.ArgumentParser, cfg_cls, skip=()) -> None:
+    for f in dataclasses.fields(cfg_cls):
+        if f.name in skip:
+            continue
+        name = f"--{f.name}"
+        if f.type in ("bool", bool):
+            parser.add_argument(name, action="store_true",
+                                default=f.default)
+        elif f.default is None or f.type in ("int | None", "str | None"):
+            typ = int if "int" in str(f.type) else str
+            parser.add_argument(name, type=typ, default=f.default)
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+
+
+def parse_train_args(argv=None) -> TrainConfig:
+    parser = argparse.ArgumentParser(description="druggen_tpu training")
+    _add_fields(parser, TrainConfig)
+    ns = parser.parse_args(argv)
+    cfg = TrainConfig(**vars(ns))
+    # reference guard train.py:454-459
+    if cfg.submodel == "DrugGEN" and not cfg.drug_raw_file:
+        parser.error("--drug_raw_file is required when using DrugGEN model")
+    if cfg.submodel == "NoTarget" and not cfg.drug_raw_file:
+        cfg.drug_raw_file = cfg.raw_file
+    if not cfg.raw_file:
+        parser.error("--raw_file is required")
+    return cfg
+
+
+def parse_inference_args(argv=None) -> InferenceConfig:
+    parser = argparse.ArgumentParser(description="druggen_tpu inference")
+    _add_fields(parser, InferenceConfig)
+    ns = parser.parse_args(argv)
+    cfg = InferenceConfig(**vars(ns))
+    if not cfg.inf_smiles:
+        parser.error("--inf_smiles is required")
+    if not cfg.train_smiles or not cfg.train_drug_smiles:
+        parser.error("--train_smiles and --train_drug_smiles are required")
+    return cfg

@@ -1,0 +1,181 @@
+"""Graph-transformer building blocks.
+
+Functional re-implementation of the reference's layer math
+(``src/model/layers.py``).  The attention here is intentionally **not**
+standard dot-product attention — the reference uses an idiosyncratic
+edge-modulated, per-channel construction (``layers.py:108-137``) and the
+whole model family (checkpoints, training dynamics, metrics) depends on it:
+
+    q, k, v : [B, N, H, Dk]      e : [B, N, N, H, Dk]
+    attn    = (q_i ⊙ k_j) / sqrt(Dk)          # ELEMENT-WISE, per channel
+    attn    = attn * (e + 1) * e              # edge modulation
+    edge'   = out_e(flatten(attn))            # PRE-softmax edge readout
+    attn    = softmax(attn, axis=j)           # per channel (H, Dk)!
+    node'   = out_n(flatten(Σ_j attn ⊙ v_j))
+
+TPU notes: all heavy compute is the six Dense projections — batched
+[B*N*N, D] x [D, D] matmuls that XLA tiles onto the MXU.  The elementwise
+modulate/softmax chain over the [B, N, N, D] edge stream is the
+bandwidth-bound part; :mod:`druggen_tpu.ops.fused_attention` provides a
+fused Pallas kernel for it, which these modules use when enabled.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Torch-style Linear initialization (kaiming_uniform(a=sqrt(5)) for the
+# kernel, uniform(+-1/sqrt(fan_in)) for the bias) so training dynamics match
+# the reference's nn.Linear defaults.
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = math.sqrt(1.0 / fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dense(features: int, fan_in: int, dtype=None, name: str | None = None) -> nn.Dense:
+    return nn.Dense(features, dtype=dtype, name=name,
+                    kernel_init=torch_linear_kernel_init,
+                    bias_init=torch_linear_bias_init(fan_in))
+
+
+def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation registry (reference models.py:39-46: relu/leaky/sigmoid/
+    tanh)."""
+    acts = {
+        "relu": nn.relu,
+        "leaky": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+        "sigmoid": nn.sigmoid,
+        "tanh": nn.tanh,
+    }
+    if name not in acts:
+        raise ValueError(f"unsupported activation {name!r}")
+    return acts[name]
+
+
+class MLP(nn.Module):
+    """Two-layer ReLU MLP with output dropout (reference layers.py:7-54)."""
+
+    in_feat: int
+    hid_feat: int | None = None
+    out_feat: int | None = None
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        hid = self.hid_feat or self.in_feat
+        out = self.out_feat or self.in_feat
+        x = _dense(hid, self.in_feat, self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = _dense(out, hid, self.dtype, name="fc2")(x)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class GraphMHA(nn.Module):
+    """Edge-modulated multi-head attention (reference MHA, layers.py:56-137).
+
+    Returns (node_out [B,N,D], edge_out [B,N,N,D])."""
+
+    dim: int
+    heads: int
+    dtype: Any = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, node, edge):
+        assert self.dim % self.heads == 0
+        b, n, c = node.shape
+        h = self.heads
+        dk = c // h
+
+        q = _dense(c, c, self.dtype, name="q")(node).reshape(b, n, h, dk)
+        k = _dense(c, c, self.dtype, name="k")(node).reshape(b, n, h, dk)
+        v = _dense(c, c, self.dtype, name="v")(node).reshape(b, n, h, dk)
+        e = _dense(c, c, self.dtype, name="e")(edge).reshape(b, n, n, h, dk)
+
+        out_e = _dense(c, c, self.dtype, name="out_e")
+        out_n = _dense(c, c, self.dtype, name="out_n")
+
+        if self.use_pallas:
+            from druggen_tpu.ops.fused_attention import edge_modulated_attention
+            edge_pre, node_agg = edge_modulated_attention(q, k, v, e)
+        else:
+            # attn[b,i,j,h,dk] = q_i * k_j / sqrt(dk) * (e_ij + 1) * e_ij
+            attn = q[:, :, None] * k[:, None, :, :, :]      # [b,n,n,h,dk]
+            attn = attn / math.sqrt(dk)
+            attn = attn * (e + 1.0) * e
+            edge_pre = attn.reshape(b, n, n, c)
+            attn = jax.nn.softmax(attn, axis=2)             # over keys j,
+            # independently per channel (h, dk) — reference layers.py:130
+            node_agg = (attn * v[:, None, :, :, :]).sum(axis=2)  # [b,n,h,dk]
+            node_agg = node_agg.reshape(b, n, c)
+
+        edge_out = out_e(edge_pre)
+        node_out = out_n(node_agg)
+        return node_out, edge_out
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN attention + dual residual MLPs for node and edge streams
+    (reference Encoder_Block, layers.py:139-193)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+    drop_rate: float = 0.0
+    dtype: Any = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, y, deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x1 = ln("ln1")(x)
+        x2, y1 = GraphMHA(self.dim, self.heads, self.dtype,
+                          self.use_pallas, name="attn")(x1, y)
+        x2 = x1 + x2            # residual vs the *normed* input (sic,
+        # reference layers.py:187: x2 = x1 + x2)
+        y2 = y + y1
+        x2 = ln("ln3")(x2)
+        y2 = ln("ln4")(y2)
+        x = ln("ln5")(x2 + MLP(self.dim, self.dim * self.mlp_ratio, self.dim,
+                               self.drop_rate, self.dtype, name="mlp")(
+                                   x2, deterministic))
+        y = ln("ln6")(y2 + MLP(self.dim, self.dim * self.mlp_ratio, self.dim,
+                               self.drop_rate, self.dtype, name="mlp2")(
+                                   y2, deterministic))
+        return x, y
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder blocks (reference layers.py:195-234)."""
+
+    dim: int
+    depth: int
+    heads: int
+    mlp_ratio: int = 4
+    drop_rate: float = 0.0
+    dtype: Any = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, y, deterministic: bool = True):
+        for i in range(self.depth):
+            x, y = EncoderBlock(self.dim, self.heads, self.mlp_ratio,
+                                self.drop_rate, self.dtype, self.use_pallas,
+                                name=f"block_{i}")(x, y, deterministic)
+        return x, y

@@ -1,0 +1,110 @@
+"""Checkpointing.
+
+The reference saves ``{epoch}-{iter}-G.ckpt`` / ``-D.ckpt`` torch
+state_dicts every log step (``train.py:259-263``) and restores by explicit
+epoch/iter flags (``train.py:250-257``).  We keep the same naming capability
+for G/D param exports, and add what the reference lacks (SURVEY.md §5
+failure-detection row): a full-train-state checkpoint (params + optimizer
+states + step) with atomic writes and auto-latest resume.
+
+Format: flax msgpack serialization (pure pytree bytes, no pickle).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from druggen_tpu.train.step import GANState
+
+_STATE_RE = re.compile(r"^state_(\d+)\.msgpack$")
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def save_params(path: str, params) -> None:
+    """Export a bare param pytree (e.g. '{submodel}-G.ckpt' for inference,
+    reference inference.py:135-139)."""
+    _atomic_write(path, serialization.to_bytes(
+        jax.device_get(params)))
+
+
+def load_params(path: str, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_gd_params(model_dir: str, state: GANState, epoch: int, it: int) -> None:
+    """Reference-style G/D exports (train.py:259-263 naming)."""
+    os.makedirs(model_dir, exist_ok=True)
+    save_params(os.path.join(model_dir, f"{epoch}-{it}-G.ckpt"), state.g_params)
+    save_params(os.path.join(model_dir, f"{epoch}-{it}-D.ckpt"), state.d_params)
+
+
+def save_state(model_dir: str, state: GANState, keep: int = 3) -> str:
+    """Full-state checkpoint named by global step; prunes to ``keep``."""
+    os.makedirs(model_dir, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    path = os.path.join(model_dir, f"state_{step}.msgpack")
+    _atomic_write(path, serialization.to_bytes(jax.device_get(state)))
+    _prune(model_dir, keep)
+    return path
+
+
+def latest_state_path(model_dir: str) -> str | None:
+    if not os.path.isdir(model_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(model_dir):
+        m = _STATE_RE.match(name)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(model_dir, name)
+    return best
+
+
+def restore_state(model_dir: str, template: GANState,
+                  path: str | None = None) -> GANState | None:
+    """Restore the newest (or an explicit) full-state checkpoint."""
+    path = path or latest_state_path(model_dir)
+    if path is None or not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+    # serialization returns the same pytree type as template
+    return GANState(*restored) if not isinstance(restored, GANState) else restored
+
+
+def restore_gd_params(model_dir: str, state: GANState, epoch: int,
+                      it: int) -> GANState:
+    """Reference-style resume from '{epoch}-{iter}-{G,D}.ckpt'
+    (train.py:250-257); optimizer states are freshly initialized, like the
+    reference (which never saves them)."""
+    g = load_params(os.path.join(model_dir, f"{epoch}-{it}-G.ckpt"),
+                    state.g_params)
+    d = load_params(os.path.join(model_dir, f"{epoch}-{it}-D.ckpt"),
+                    state.d_params)
+    return state._replace(g_params=g, d_params=d)
+
+
+def _prune(model_dir: str, keep: int) -> None:
+    entries = []
+    for name in os.listdir(model_dir):
+        m = _STATE_RE.match(name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    entries.sort()
+    for _, name in entries[:-keep] if keep > 0 else []:
+        try:
+            os.remove(os.path.join(model_dir, name))
+        except OSError:
+            pass

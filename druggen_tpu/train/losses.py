@@ -1,0 +1,83 @@
+"""WGAN-GP objectives.
+
+Functional re-implementation of the reference losses
+(``src/model/loss.py``):
+
+- :func:`gradient_penalty` — eps-interpolation on both node and edge inputs,
+  per-sample input gradients of the critic, concatenated 2-norm, mean
+  squared deviation from 1 (``loss.py:4-49``).  In JAX the reference's
+  ``torch.autograd.grad(..., create_graph=True)`` double-backward becomes a
+  ``jax.grad`` *inside* the loss that is itself differentiated — natively
+  supported (SURVEY.md §3.1).
+- :func:`discriminator_loss` — ``E[D(fake)] - E[D(real)] + λ·GP`` with the
+  generator outputs stop-gradiented (``loss.py:52-72``; the reference's
+  ``.detach()``).
+- :func:`generator_loss` — ``-E[D(fake)]`` (``loss.py:75-85``).
+
+Critic gradient trick: D outputs [B, 1] with per-sample independence, so
+``jax.grad`` of ``sum(D(x))`` w.r.t. the input gives exactly the per-sample
+gradients the reference obtains with ``grad_outputs=ones``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# Critic signature: (edge [B,N,N,b], node [B,N,m]) -> [B,1]
+CriticFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# Generator signature: (edge, node) -> (node_h, edge_h, node_logits, edge_logits)
+GeneratorFn = Callable[[jnp.ndarray, jnp.ndarray], tuple]
+
+
+def gradient_penalty(critic: CriticFn,
+                     real_node: jnp.ndarray, real_edge: jnp.ndarray,
+                     fake_node: jnp.ndarray, fake_edge: jnp.ndarray,
+                     key: jax.Array) -> jnp.ndarray:
+    """Reference ``gradient_penalty`` (loss.py:4-49)."""
+    b = real_node.shape[0]
+    k_node, k_edge = jax.random.split(key)
+    eps_node = jax.random.uniform(k_node, (b, 1, 1), real_node.dtype)
+    eps_edge = jax.random.uniform(k_edge, (b, 1, 1, 1), real_edge.dtype)
+
+    int_node = eps_node * real_node + (1.0 - eps_node) * fake_node
+    int_edge = eps_edge * real_edge + (1.0 - eps_edge) * fake_edge
+
+    def critic_sum(node, edge):
+        return jnp.sum(critic(edge, node))
+
+    g_node, g_edge = jax.grad(critic_sum, argnums=(0, 1))(int_node, int_edge)
+    grads = jnp.concatenate([g_node.reshape(b, -1), g_edge.reshape(b, -1)],
+                            axis=1)
+    norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
+def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
+                       drug_edge: jnp.ndarray, drug_node: jnp.ndarray,
+                       mol_edge: jnp.ndarray, mol_node: jnp.ndarray,
+                       lambda_gp: float, key: jax.Array) -> jnp.ndarray:
+    """Reference ``discriminator_loss`` (loss.py:52-72): critic sees the real
+    (drug) graphs and the generator's *logit* outputs (continuous
+    relaxation, not argmax-discretized), with G frozen."""
+    logits_real = critic(drug_edge, drug_node)
+    _, _, node_logits, edge_logits = generator(mol_edge, mol_node)
+    fake_node = jax.lax.stop_gradient(node_logits)
+    fake_edge = jax.lax.stop_gradient(edge_logits)
+    logits_fake = critic(fake_edge, fake_node)
+    gp = gradient_penalty(critic, drug_node, drug_edge, fake_node, fake_edge,
+                          key)
+    return jnp.mean(logits_fake) - jnp.mean(logits_real) + lambda_gp * gp
+
+
+def generator_loss(generator: GeneratorFn, critic: CriticFn,
+                   mol_edge: jnp.ndarray, mol_node: jnp.ndarray
+                   ) -> tuple[jnp.ndarray, tuple]:
+    """Reference ``generator_loss`` (loss.py:75-85).  Returns (loss,
+    generator outputs) so the caller can reuse the samples for logging."""
+    outs = generator(mol_edge, mol_node)
+    _, _, node_logits, edge_logits = outs
+    logits_fake = critic(edge_logits, node_logits)
+    return -jnp.mean(logits_fake), outs

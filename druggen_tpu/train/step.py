@@ -1,0 +1,131 @@
+"""The jitted WGAN-GP train step.
+
+The reference's per-iteration hot path (``train.py:302-397``, SURVEY.md
+§3.1) is: 2 G forwards, 4 D forwards, one double-backward through D (the
+gradient penalty), and two optimizer steps.  Here that whole iteration —
+one-hot encoding included — is a **single jitted function**: no Python in
+the loop, labels cross host->device as int8, XLA fuses the rest.
+
+D is updated first, then G trains against the *updated* critic, matching
+the reference's sequential ``d_optimizer.step(); ... g_optimizer.step()``
+ordering exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from druggen_tpu.train.losses import (
+    discriminator_loss,
+    generator_loss,
+)
+
+
+class GANState(NamedTuple):
+    """Replicated training state (params + optimizer states + step)."""
+
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    step: jnp.ndarray          # int32 scalar
+
+
+def make_optimizers(cfg):
+    """AdamW x2 with torch-default decoupled weight decay (reference
+    train.py:213-214)."""
+    g_opt = optax.adamw(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2,
+                        weight_decay=cfg.adam_weight_decay)
+    d_opt = optax.adamw(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2,
+                        weight_decay=cfg.adam_weight_decay)
+    return g_opt, d_opt
+
+
+def init_state(g_model, d_model, g_opt, d_opt, key, vertexes: int,
+               m_dim: int, b_dim: int, compute_dtype=jnp.float32) -> GANState:
+    kg, kd, kdg, kdd = jax.random.split(key, 4)
+    z_e = jnp.zeros((1, vertexes, vertexes, b_dim), compute_dtype)
+    z_n = jnp.zeros((1, vertexes, m_dim), compute_dtype)
+    g_params = g_model.init({"params": kg, "dropout": kdg}, z_e, z_n)
+    d_params = d_model.init({"params": kd, "dropout": kdd}, z_e, z_n)
+    return GANState(
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_opt.init(g_params),
+        d_opt_state=d_opt.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
+                    m_dim: int, b_dim: int, submodel: str = "DrugGEN",
+                    compute_dtype=jnp.float32, donate: bool = True):
+    """Build the jitted step.
+
+    step(state, key, x_labels [B,N] int, a_labels [B,N,N] int,
+         drug_x_labels, drug_a_labels) -> (new_state, metrics dict,
+         (node_logits, edge_logits)).
+
+    ``key`` is the *base* PRNG key; per-step randomness is derived by
+    folding in the step counter (deterministic resume).  For the NoTarget
+    submodel the drug inputs are ignored and the critic sees the ChEMBL
+    graphs themselves (reference train.py:340-345)."""
+
+    def g_apply(params, rng, e, n):
+        return g_model.apply(params, e, n, deterministic=False,
+                             rngs={"dropout": rng})
+
+    def d_apply(params, rng, e, n):
+        return d_model.apply(params, e, n, deterministic=False,
+                             rngs={"dropout": rng})
+
+    def step_fn(state: GANState, key, x_labels, a_labels,
+                drug_x_labels, drug_a_labels):
+        step_key = jax.random.fold_in(key, state.step)
+        k_gp, k_gdrop, k_ddrop, k_gdrop2, k_ddrop2 = jax.random.split(step_key, 5)
+
+        x = jax.nn.one_hot(x_labels, m_dim, dtype=compute_dtype)
+        a = jax.nn.one_hot(a_labels, b_dim, dtype=compute_dtype)
+        if submodel == "NoTarget":
+            disc_x, disc_a = x, a
+        else:
+            disc_x = jax.nn.one_hot(drug_x_labels, m_dim, dtype=compute_dtype)
+            disc_a = jax.nn.one_hot(drug_a_labels, b_dim, dtype=compute_dtype)
+
+        # ---- D update (reference train.py:352-368)
+        def d_loss_fn(d_params):
+            critic = partial(d_apply, d_params, k_ddrop)
+            generator = partial(g_apply, state.g_params, k_gdrop)
+            return discriminator_loss(generator, critic, disc_a, disc_x,
+                                      a, x, lambda_gp, k_gp)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
+                                              state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G update against the updated critic (reference train.py:370-384)
+        def g_loss_fn(g_params):
+            critic = partial(d_apply, d_params, k_ddrop2)
+            generator = partial(g_apply, g_params, k_gdrop2)
+            return generator_loss(generator, critic, a, x)
+
+        (g_loss, outs), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state,
+                                              state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        _, _, node_logits, edge_logits = outs
+        new_state = GANState(g_params, d_params, g_opt_state, d_opt_state,
+                             state.step + 1)
+        metrics = {"d_loss": d_loss, "g_loss": g_loss}
+        return new_state, metrics, (node_logits, edge_logits)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
