@@ -46,10 +46,11 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
                       max_atom=vertexes, dim=dim, heads=heads, mlp_ratio=3)
     kwargs = dict(act="relu", vertexes=vertexes, edges=b_dim, nodes=m_dim,
                   dropout=0.0, dim=dim, depth=depth, heads=heads,
-                  mlp_ratio=3, use_pallas=use_pallas,
+                  mlp_ratio=3,
                   dtype=None if cdtype == jnp.float32 else cdtype)
-    g = Generator(**kwargs)
-    d = Discriminator(**kwargs)
+    # Pallas on G only; D's GP double-backward needs the XLA path
+    g = Generator(use_pallas=use_pallas, **kwargs)
+    d = Discriminator(use_pallas=False, **kwargs)
     g_opt, d_opt = make_optimizers(cfg)
     mesh = make_mesh()
     state = shard_state(mesh, init_state(

@@ -78,10 +78,14 @@ class Trainer:
                       nodes=self.m_dim, dim=cfg.dim, heads=cfg.heads,
                       mlp_ratio=cfg.mlp_ratio,
                       dtype=None if self.compute_dtype == jnp.float32
-                      else self.compute_dtype,
-                      use_pallas=cfg.use_pallas)
-        self.G = Generator(dropout=cfg.dropout, depth=cfg.depth, **common)
-        self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth, **common)
+                      else self.compute_dtype)
+        # Pallas goes to G only: the gradient penalty double-differentiates
+        # D, and custom_vjp kernels do not support second-order AD (see
+        # druggen_tpu/ops/fused_attention.py docstring)
+        self.G = Generator(dropout=cfg.dropout, depth=cfg.depth,
+                           use_pallas=cfg.use_pallas, **common)
+        self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth,
+                               use_pallas=False, **common)
         self.g_opt, self.d_opt = make_optimizers(cfg)
 
         self.mesh = make_mesh(cfg.mesh_data)

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Offline molecule-set evaluator CLI.
+
+Analogue of the reference ``results/evaluate.py`` (CLI at
+evaluate.py:236-261): validity/uniqueness/novelty/IntDiv, QED/SA, Fréchet
+distance, Frag/Scaf similarity, Lipinski/Veber/PAINS pass-rates — JSON +
+CSV outputs.
+
+Example:
+    python evaluate.py --gen generated.csv --ref1 chembl_train.smi \\
+        --ref2 akt_train.smi --output results
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+
+import numpy as np
+
+from druggen_tpu.chem.filters import is_pains, load_pains_filters
+from druggen_tpu.chem.descriptors import obey_lipinski, obey_veber, qed, sa_score
+from druggen_tpu.chem.fingerprints import fingerprints_for_smiles
+from druggen_tpu.chem.smiles import mol_from_smiles
+from druggen_tpu.chem.vocab import read_smiles_file
+from druggen_tpu.metrics import (
+    fraction_unique,
+    fraction_valid,
+    internal_diversity,
+    novelty,
+)
+from druggen_tpu.metrics.fcd import FCD
+from druggen_tpu.metrics.frag_scaf import frag_similarity, scaf_similarity
+
+
+class MoleculeEvaluator:
+    """Reference MoleculeEvaluator (results/evaluate.py:19-142)."""
+
+    def __init__(self, gen_smiles, ref_smiles_1, ref_smiles_2=None):
+        self.gen_smiles = gen_smiles
+        self.ref_smiles_1 = ref_smiles_1
+        self.ref_smiles_2 = ref_smiles_2
+        self.gen_mols = [m for s in gen_smiles
+                         if s and (m := mol_from_smiles(s)) is not None]
+        self.gen_valid = [s for s in gen_smiles
+                          if s and mol_from_smiles(s) is not None]
+        self.fcd = FCD()
+        self.pains_catalog = load_pains_filters()
+
+    def basic(self):
+        fps = fingerprints_for_smiles(self.gen_valid)
+        idiv, idiv_std = internal_diversity(fps) if len(fps) else (0.0, 0.0)
+        out = {
+            "validity": fraction_valid(self.gen_smiles),
+            "uniqueness": fraction_unique(self.gen_smiles),
+            "novelty_ref1": novelty(self.gen_smiles, self.ref_smiles_1),
+            "internal_diversity": idiv,
+            "internal_diversity_std": idiv_std,
+        }
+        if self.ref_smiles_2:
+            out["novelty_ref2"] = novelty(self.gen_smiles, self.ref_smiles_2)
+        return out
+
+    def properties(self):
+        qeds = [qed(m) for m in self.gen_mols]
+        sas = [sa_score(m) for m in self.gen_mols]
+        return {
+            "qed_mean": float(np.mean(qeds)) if qeds else 0.0,
+            "qed_std": float(np.std(qeds)) if qeds else 0.0,
+            "sa_mean": float(np.mean(sas)) if sas else 0.0,
+            "sa_std": float(np.std(sas)) if sas else 0.0,
+        }
+
+    def frechet(self):
+        out = {"fcd_ref1": self.fcd(self.gen_valid, self.ref_smiles_1)}
+        if self.ref_smiles_2:
+            out["fcd_ref2"] = self.fcd(self.gen_valid, self.ref_smiles_2)
+        return out
+
+    def similarity(self):
+        out = {
+            "frag_sim_ref1": frag_similarity(self.gen_valid, self.ref_smiles_1),
+            "scaf_sim_ref1": scaf_similarity(self.gen_valid, self.ref_smiles_1),
+        }
+        if self.ref_smiles_2:
+            out["frag_sim_ref2"] = frag_similarity(self.gen_valid,
+                                                   self.ref_smiles_2)
+            out["scaf_sim_ref2"] = scaf_similarity(self.gen_valid,
+                                                   self.ref_smiles_2)
+        return out
+
+    def drug_likeness(self):
+        lip = [obey_lipinski(m) for m in self.gen_mols]
+        veb = [obey_veber(m) for m in self.gen_mols]
+        pains = [not is_pains(m, self.pains_catalog) for m in self.gen_mols]
+        return {
+            "lipinski_mean": float(np.mean(lip)) if lip else 0.0,
+            "lipinski_std": float(np.std(lip)) if lip else 0.0,
+            "veber_mean": float(np.mean(veb)) if veb else 0.0,
+            "veber_std": float(np.std(veb)) if veb else 0.0,
+            "pains_pass_rate": float(np.mean(pains)) if pains else 0.0,
+        }
+
+    def evaluate_all(self):
+        results = {}
+        for name, fn in (("basic", self.basic),
+                         ("property", self.properties),
+                         ("frechet", self.frechet),
+                         ("similarity", self.similarity),
+                         ("drug-likeness", self.drug_likeness)):
+            print(f"Calculating {name} metrics...")
+            part = fn()
+            print({k: round(v, 3) if isinstance(v, float) else v
+                   for k, v in part.items()})
+            results.update(part)
+        return results
+
+
+def read_gen_csv(path: str, smiles_col: str = "SMILES") -> list[str]:
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        if reader.fieldnames and smiles_col in reader.fieldnames:
+            return [row[smiles_col] for row in reader if row.get(smiles_col)]
+    # fall back to raw .smi-style content
+    return read_smiles_file(path)
+
+
+def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
+                                  smiles_col="SMILES",
+                                  output_prefix="results"):
+    gen = read_gen_csv(gen_path, smiles_col)
+    ref1 = read_smiles_file(ref_path_1)
+    ref2 = read_smiles_file(ref_path_2) if ref_path_2 else None
+    if not gen:
+        raise ValueError("No SMILES found in generated set")
+    if not ref1:
+        raise ValueError("No SMILES found in reference set 1")
+    print(f"Generated: {len(gen)}  Ref1: {len(ref1)}"
+          + (f"  Ref2: {len(ref2)}" if ref2 else ""))
+    ev = MoleculeEvaluator(gen, ref1, ref2)
+    results = ev.evaluate_all()
+    results.update({
+        "n_generated": len(gen),
+        "n_reference_1": len(ref1),
+        "n_reference_2": len(ref2) if ref2 else 0,
+    })
+    formatted = {k: round(v, 3) if isinstance(v, float) else v
+                 for k, v in results.items()}
+    with open(f"{output_prefix}.json", "w") as f:
+        json.dump(formatted, f, indent=4)
+    with open(f"{output_prefix}.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(formatted.keys()))
+        w.writeheader()
+        w.writerow(formatted)
+    return results
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Evaluate generated molecules against reference sets")
+    parser.add_argument("--gen", required=True)
+    parser.add_argument("--ref1", required=True)
+    parser.add_argument("--ref2")
+    parser.add_argument("--smiles-col", default="SMILES")
+    parser.add_argument("--output", default="results")
+    args = parser.parse_args()
+    evaluate_molecules_from_files(args.gen, args.ref1, args.ref2,
+                                  smiles_col=args.smiles_col,
+                                  output_prefix=args.output)
+    print(f"Evaluation complete. Results in {args.output}.json/.csv")
