@@ -44,11 +44,28 @@ def cache_path_for(raw_file: str, max_atom: int, data_dir: str) -> str:
 
 
 def featurize_smiles(smiles_list: list[str], vocab: Vocab, max_atom: int,
-                     log_every: int = 0) -> GraphData:
+                     log_every: int = 0, use_native: bool = True) -> GraphData:
     """Filter + featurize a SMILES list (reference ``_filter_smiles`` +
     ``process``, dataset.py:80-117,280-317).  Molecules that fail to parse,
     exceed ``max_atom``, use out-of-vocab atoms/bonds, or have isolated
-    atoms are dropped."""
+    atoms are dropped.
+
+    Uses the multithreaded C++ kernel (druggen_tpu/native) when built — the
+    outputs are bit-identical to the Python path (tests/test_native.py)."""
+    if use_native:
+        try:
+            from druggen_tpu import native
+
+            if native.available():
+                X, A, kept_idx = native.featurize_batch_native(
+                    smiles_list, vocab, max_atom)
+                if len(kept_idx) == 0:
+                    raise ValueError("no molecules survived filtering")
+                return GraphData(x=X, a=A,
+                                 smiles=[smiles_list[i] for i in kept_idx],
+                                 vocab=vocab, max_atom=max_atom)
+        except RuntimeError:
+            pass  # fall back to Python
     xs, as_, kept = [], [], []
     for i, smi in enumerate(smiles_list):
         res = smiles_to_matrices(smi, vocab, max_atom)
