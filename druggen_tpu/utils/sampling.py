@@ -98,4 +98,14 @@ def save_sample_artifacts(sample_dir: str, epoch: int, it: int,
     if lines:
         with open(os.path.join(out_dir, "samples.smi"), "w") as f:
             f.write("\n".join(lines) + "\n")
+        # grid PNG of the valid samples (reference mols2grid_image,
+        # utils.py:130-151)
+        try:
+            from druggen_tpu.chem.depict import mols_to_grid_image
+
+            mols_to_grid_image([m for m in mols if m is not None],
+                               os.path.join(out_dir, "samples.png"),
+                               titles=lines)
+        except Exception as e:  # rendering must never kill training
+            print(f"sample grid rendering skipped: {e}")
     return n_valid

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (BASELINE config 5 measurement).
+
+Measures full-train-step edges/s on meshes of 1..n_devices devices with the
+per-device batch held constant (weak scaling), and reports efficiency
+relative to linear scaling.  On a multi-chip TPU slice this is the
+>=80%-efficiency check; on a single chip or the virtual CPU mesh it
+exercises the harness itself.
+
+Usage:
+    python scripts/scaling_bench.py                    # all visible devices
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+        python scripts/scaling_bench.py --per-device-batch 16
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--per-device-batch", type=int, default=128)
+    p.add_argument("--vertexes", type=int, default=45)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--depth", type=int, default=1)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from druggen_tpu.chem.vocab import CHEMBL_VOCAB
+    from druggen_tpu.config import TrainConfig
+    from druggen_tpu.models import Discriminator, Generator
+    from druggen_tpu.parallel import make_mesh, shard_batch, shard_state
+    from druggen_tpu.train.step import (
+        init_state,
+        make_optimizers,
+        make_train_step,
+    )
+
+    n_devices = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_devices]
+    vocab = CHEMBL_VOCAB
+    m_dim, b_dim = vocab.m_dim, vocab.b_dim
+    vert = args.vertexes
+
+    results = []
+    base_throughput = None
+    for nd in sizes:
+        batch = args.per_device_batch * nd
+        cfg = TrainConfig(raw_file="x", drug_raw_file="y", batch_size=batch,
+                          max_atom=vert, dim=args.dim, heads=args.heads,
+                          mlp_ratio=3)
+        g = Generator(act="relu", vertexes=vert, edges=b_dim, nodes=m_dim,
+                      dropout=0.0, dim=args.dim, depth=args.depth,
+                      heads=args.heads, mlp_ratio=3)
+        d = Discriminator(act="relu", vertexes=vert, edges=b_dim,
+                          nodes=m_dim, dropout=0.0, dim=args.dim,
+                          depth=args.depth, heads=args.heads, mlp_ratio=3)
+        g_opt, d_opt = make_optimizers(cfg)
+        mesh = make_mesh(nd)
+        state = shard_state(mesh, init_state(
+            g, d, g_opt, d_opt, jax.random.PRNGKey(0), vert, m_dim, b_dim))
+        step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                               m_dim=m_dim, b_dim=b_dim)
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, m_dim, (batch, vert)).astype(np.int8)
+        a0 = np.triu(rng.integers(0, b_dim, (batch, vert, vert)), 1)
+        a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+        xb, ab, dxb, dab = shard_batch(mesh, x, a, x.copy(), a.copy())
+        key = jax.random.PRNGKey(1)
+        for _ in range(3):
+            state, metrics, _ = step(state, key, xb, ab, dxb, dab)
+        jax.block_until_ready(metrics["d_loss"])
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            state, metrics, _ = step(state, key, xb, ab, dxb, dab)
+            jax.block_until_ready(metrics["d_loss"])
+            times.append(time.perf_counter() - t0)
+        sec = sorted(times)[len(times) // 2]
+        mols = batch / sec
+        edges = mols * vert * vert
+        if base_throughput is None:
+            base_throughput = mols
+        eff = mols / (base_throughput * nd)
+        results.append({"devices": nd, "batch": batch,
+                        "step_seconds": round(sec, 5),
+                        "mols_per_s": round(mols, 1),
+                        "edges_per_s": round(edges, 1),
+                        "scaling_efficiency": round(eff, 3)})
+        print(json.dumps(results[-1]))
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()
