@@ -70,22 +70,34 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
     return state, step, (key, xb, ab, dxb, dab)
 
 
-def bench_step(state, step, args, warmup: int = 3, iters: int = 20) -> float:
-    """Seconds per training step (median of timed iterations)."""
-    import jax
+def bench_step(state, step, args, warmup: int = 2, k_small: int = 5,
+               k_large: int = 20) -> float:
+    """Seconds per training step: marginal cost between a K-small and a
+    K-large dispatch chain, each terminated by a device->host value fetch.
 
+    NOTE on methodology: through the remote-TPU relay used in this
+    environment, ``jax.block_until_ready`` returns before execution
+    completes, so per-step median timing wildly under-reports.  Fetching a
+    computed scalar (``float(loss)``) is the only hard sync; the marginal
+    slope between two chain lengths cancels the dispatch/round-trip
+    constant and measures sustained training throughput."""
     key = args[0]
+    metrics = None
     for _ in range(warmup):
         state, metrics, _ = step(state, key, *args[1:])
-    jax.block_until_ready(metrics["d_loss"])
-    times = []
-    for _ in range(iters):
+    float(metrics["d_loss"])  # hard sync
+
+    def chain(k, st):
         t0 = time.perf_counter()
-        state, metrics, _ = step(state, key, *args[1:])
-        jax.block_until_ready(metrics["d_loss"])
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        last = None
+        for _ in range(k):
+            st, last, _ = step(st, key, *args[1:])
+        float(last["d_loss"])  # hard sync
+        return time.perf_counter() - t0, st
+
+    w_small, state = chain(k_small, state)
+    w_large, state = chain(k_large, state)
+    return max((w_large - w_small) / (k_large - k_small), 1e-9)
 
 
 def torch_baseline_seconds(batch: int, vertexes: int, dim: int, depth: int,
@@ -211,7 +223,7 @@ def main():
     state, step, step_args = build(args.batch, args.vertexes, args.dim,
                                    args.depth, args.heads, args.use_pallas,
                                    args.compute_dtype)
-    sec = bench_step(state, step, step_args, iters=args.iters)
+    sec = bench_step(state, step, step_args, k_large=max(args.iters, 10))
     mols_per_s = args.batch / sec
     edges_per_s = mols_per_s * args.vertexes ** 2
 

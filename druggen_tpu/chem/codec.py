@@ -68,6 +68,61 @@ def smiles_to_matrices(smiles: str, vocab: Vocab, max_atom: int
     return mol_to_matrices(mol, vocab, max_atom)
 
 
+def atom_features(mol: Mol, max_atom: int) -> np.ndarray:
+    """Extra per-atom feature block (reference ``_genF``,
+    ``dataset.py:161-185``, gated by the ``--features`` flag): one-hot-ish
+    indicator features over degree, explicit/implicit valence,
+    hybridization, aromaticity, H counts, ring membership and ring sizes.
+    53 columns, zero-padded to ``max_atom`` rows.
+
+    Hybridization here is derived (sp=2 neighbors+triple/cumulated, sp2=
+    has double bond or aromatic, sp3 otherwise) since our Mol doesn't carry
+    RDKit's enum; the indicator layout keeps the same 6-slot structure."""
+    n = mol.num_atoms()
+    rings = mol.ring_info()
+    ring_sizes = [set() for _ in range(n)]
+    for r in rings:
+        for i in r:
+            ring_sizes[i].add(len(r))
+    feats = []
+    for i, a in enumerate(mol.atoms):
+        deg = mol.degree(i)
+        ev = int(round(mol.explicit_valence(i)
+                       - (a.explicit_hs if a.explicit_hs is not None else 0)))
+        iv = a.implicit_hs  # GetImplicitValence == implicit H count
+        n_triple = sum(1 for bi in mol.adj()[i]
+                       if mol.bonds[bi].type == BondType.TRIPLE)
+        n_double = sum(1 for bi in mol.adj()[i]
+                       if mol.bonds[bi].type == BondType.DOUBLE)
+        if a.aromatic or (n_double == 1 and n_triple == 0):
+            hyb = 3        # sp2  (RDKit HybridizationType.SP2 == 3)
+        elif n_triple >= 1 or n_double >= 2:
+            hyb = 2        # sp
+        else:
+            hyb = 4        # sp3
+        row = (
+            [deg == k for k in range(5)]              # 5
+            + [ev == k for k in range(9)]             # 9
+            + [hyb == k for k in range(1, 7)]         # 6
+            + [iv == k for k in range(9)]             # 9
+            + [a.aromatic]                            # 1
+            + [a.explicit_hs is not None]             # 1 (NoImplicit analogue)
+            + [(a.explicit_hs or 0) == k for k in range(5)]   # 5
+            + [a.implicit_hs == k for k in range(5)]  # 5
+            + [0, 0, 0, 0, 0]                         # radical electrons: 5
+            + [a.in_ring]                             # 1
+            + [k in ring_sizes[i] for k in range(2, 9)]  # 7
+        )
+        # radical-electron one-hot: we model no radicals => slot "0" true
+        # (layout: 5+9+6+9+1+1+5+5 = 41 is the radicals==0 indicator)
+        row[41] = True
+        feats.append([int(x) for x in row])
+    arr = np.array(feats, dtype=np.int8)
+    out = np.zeros((max_atom, arr.shape[1]), dtype=np.int8)
+    out[:n] = arr
+    return out
+
+
 def matrices_to_mol(node_labels: np.ndarray, edge_labels: np.ndarray,
                     vocab: Vocab, strict: bool = True) -> Mol | None:
     """Decode argmax label matrices back into a molecule.

@@ -72,6 +72,8 @@ class TrainConfig:
     mesh_data: int = 0                   # 0 => all visible devices on 'data'
     adam_weight_decay: float = 0.01      # torch AdamW default (reference
     # train.py:213-214 uses torch.optim.AdamW default weight_decay)
+    steps_per_dispatch: int = 1          # >1: lax.scan K train steps per
+    # host dispatch (hides host/relay latency; metrics logged per chunk)
 
     @property
     def run_name(self) -> str:

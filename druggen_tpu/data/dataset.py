@@ -25,16 +25,33 @@ from druggen_tpu.chem.vocab import Vocab, read_smiles_file
 
 @dataclass
 class GraphData:
-    """A featurized corpus: X [M, N] atom labels, A [M, N, N] bond labels."""
+    """A featurized corpus: X [M, N] atom labels, A [M, N, N] bond labels,
+    optional F [M, N, 54] extra node features (reference --features flag,
+    dataset.py:161-185)."""
 
     x: np.ndarray          # int8 [M, N]
     a: np.ndarray          # int8 [M, N, N]
     smiles: list[str]      # the M source SMILES (post-filter)
     vocab: Vocab
     max_atom: int
+    f: np.ndarray | None = None   # int8 [M, N, F_dim]
 
     def __len__(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def feature_dim(self) -> int:
+        return 0 if self.f is None else int(self.f.shape[-1])
+
+    def dense_nodes(self, idx) -> np.ndarray:
+        """float32 [B, N, m_dim + F] one-hot atom types concatenated with
+        the extra features (the reference's x when --features is set,
+        dataset.py:303-307)."""
+        onehot = np.eye(self.vocab.m_dim, dtype=np.float32)[self.x[idx]]
+        if self.f is None:
+            return onehot
+        return np.concatenate([onehot, self.f[idx].astype(np.float32)],
+                              axis=-1)
 
 
 def cache_path_for(raw_file: str, max_atom: int, data_dir: str) -> str:
@@ -44,7 +61,8 @@ def cache_path_for(raw_file: str, max_atom: int, data_dir: str) -> str:
 
 
 def featurize_smiles(smiles_list: list[str], vocab: Vocab, max_atom: int,
-                     log_every: int = 0, use_native: bool = True) -> GraphData:
+                     log_every: int = 0, use_native: bool = True,
+                     features: bool = False) -> GraphData:
     """Filter + featurize a SMILES list (reference ``_filter_smiles`` +
     ``process``, dataset.py:80-117,280-317).  Molecules that fail to parse,
     exceed ``max_atom``, use out-of-vocab atoms/bonds, or have isolated
@@ -52,7 +70,7 @@ def featurize_smiles(smiles_list: list[str], vocab: Vocab, max_atom: int,
 
     Uses the multithreaded C++ kernel (druggen_tpu/native) when built — the
     outputs are bit-identical to the Python path (tests/test_native.py)."""
-    if use_native:
+    if use_native and not features:  # native path has no extra-feature block
         try:
             from druggen_tpu import native
 
@@ -66,7 +84,9 @@ def featurize_smiles(smiles_list: list[str], vocab: Vocab, max_atom: int,
                                  vocab=vocab, max_atom=max_atom)
         except RuntimeError:
             pass  # fall back to Python
-    xs, as_, kept = [], [], []
+    xs, as_, fs, kept = [], [], [], []
+    from druggen_tpu.chem.codec import atom_features
+    from druggen_tpu.chem.smiles import mol_from_smiles
     for i, smi in enumerate(smiles_list):
         res = smiles_to_matrices(smi, vocab, max_atom)
         if res is None:
@@ -74,19 +94,25 @@ def featurize_smiles(smiles_list: list[str], vocab: Vocab, max_atom: int,
         x, a = res
         xs.append(x)
         as_.append(a)
+        if features:
+            fs.append(atom_features(mol_from_smiles(smi), max_atom))
         kept.append(smi)
         if log_every and len(kept) % log_every == 0:
             print(f"featurized {len(kept)} molecules ({i + 1} scanned)")
     if not xs:
         raise ValueError("no molecules survived filtering")
     return GraphData(x=np.stack(xs), a=np.stack(as_), smiles=kept,
-                     vocab=vocab, max_atom=max_atom)
+                     vocab=vocab, max_atom=max_atom,
+                     f=np.stack(fs) if features else None)
 
 
 def load_dataset(raw_file: str, vocab: Vocab, max_atom: int,
-                 data_dir: str = "data", use_cache: bool = True) -> GraphData:
+                 data_dir: str = "data", use_cache: bool = True,
+                 features: bool = False) -> GraphData:
     """Load-or-build the dense cache for a raw SMILES file."""
     path = cache_path_for(raw_file, max_atom, data_dir)
+    if features:
+        path = path.replace(".npz", "_feat.npz")
     if use_cache and os.path.exists(path):
         with np.load(path, allow_pickle=False) as z:
             cached_vocab = Vocab(tuple(z["atom_labels"].tolist()),
@@ -94,17 +120,20 @@ def load_dataset(raw_file: str, vocab: Vocab, max_atom: int,
             if cached_vocab == vocab and int(z["max_atom"]) == max_atom:
                 return GraphData(x=z["x"], a=z["a"],
                                  smiles=[s for s in z["smiles"].tolist()],
-                                 vocab=vocab, max_atom=max_atom)
-    data = featurize_smiles(read_smiles_file(raw_file), vocab, max_atom)
+                                 vocab=vocab, max_atom=max_atom,
+                                 f=z["f"] if "f" in z.files else None)
+    data = featurize_smiles(read_smiles_file(raw_file), vocab, max_atom,
+                            features=features)
     if use_cache:
         os.makedirs(data_dir, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
+        extra = {"f": data.f} if data.f is not None else {}
         np.savez_compressed(
             tmp, x=data.x, a=data.a,
             smiles=np.array(data.smiles, dtype=np.str_),
             atom_labels=np.array(vocab.atom_labels, dtype=np.int64),
             bond_labels=np.array(vocab.bond_labels, dtype=np.int64),
-            max_atom=np.int64(max_atom))
+            max_atom=np.int64(max_atom), **extra)
         os.replace(tmp + ".npz", path)
     return data
 
@@ -151,9 +180,14 @@ class BatchIterator:
         mine = perm[self.host_id * per_host:(self.host_id + 1) * per_host]
         nb = len(mine) // self.batch_size if self.drop_last \
             else -(-len(mine) // self.batch_size)
+        dense = self.data.f is not None
         for i in range(nb):
             idx = mine[i * self.batch_size:(i + 1) * self.batch_size]
-            yield self.data.x[idx], self.data.a[idx]
+            if dense:
+                # --features mode: nodes arrive as dense float blocks
+                yield self.data.dense_nodes(idx), self.data.a[idx]
+            else:
+                yield self.data.x[idx], self.data.a[idx]
 
     def __iter__(self):
         if self.loop:

@@ -47,7 +47,9 @@ try:  # pltpu is importable on CPU builds too; guards belt-and-braces
 except ImportError:  # pragma: no cover
     pltpu = None
 
-_BI = 8  # query-row block
+def _block_rows(dtype) -> int:
+    """Query-row block: sublane-aligned per dtype (f32: 8, bf16: 16)."""
+    return 16 if dtype == jnp.bfloat16 else 8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,14 +74,16 @@ def reference_attention(q, k, v, e):
 
 def _fwd_kernel(n_real: int, inv_sqrt_dk: float, q_ref, k_ref, v_ref, e_ref,
                 edge_ref, node_ref):
-    q = q_ref[0]            # [BI, D]
-    k = k_ref[0]            # [Np, D]
-    v = v_ref[0]            # [Np, D]
-    e = e_ref[0]            # [BI, Np, D]
+    # compute in f32 regardless of storage dtype (bf16 softmax would lose
+    # too much precision for gradient-parity with the XLA path)
+    q = q_ref[0].astype(jnp.float32)            # [BI, D]
+    k = k_ref[0].astype(jnp.float32)            # [Np, D]
+    v = v_ref[0].astype(jnp.float32)            # [Np, D]
+    e = e_ref[0].astype(jnp.float32)            # [BI, Np, D]
 
     t = (q[:, None, :] * k[None, :, :]) * inv_sqrt_dk
     t = t * (e + 1.0) * e
-    edge_ref[0] = t
+    edge_ref[0] = t.astype(edge_ref.dtype)
 
     np_ = k.shape[0]
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, np_, 1), 1)
@@ -87,26 +91,27 @@ def _fwd_kernel(n_real: int, inv_sqrt_dk: float, q_ref, k_ref, v_ref, e_ref,
     m = jnp.max(masked, axis=1, keepdims=True)
     ex = jnp.exp(masked - m)
     s = ex / jnp.sum(ex, axis=1, keepdims=True)
-    node_ref[0] = jnp.sum(s * v[None, :, :], axis=1)
+    node_ref[0] = jnp.sum(s * v[None, :, :], axis=1).astype(node_ref.dtype)
 
 
 def _fwd_pallas(q3, k3, v3, e4, n_real: int, dk: int, interpret: bool):
     """q3,k3,v3: [B, Np, D]; e4: [B, Np, Np, D] (already padded)."""
     b, np_, d = q3.shape
-    grid = (b, np_ // _BI)
+    bi = _block_rows(q3.dtype)
+    grid = (b, np_ // bi)
     kern = functools.partial(_fwd_kernel, n_real, 1.0 / math.sqrt(dk))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BI, d), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, bi, d), lambda bb, ii: (bb, ii, 0)),
             pl.BlockSpec((1, np_, d), lambda bb, ii: (bb, 0, 0)),
             pl.BlockSpec((1, np_, d), lambda bb, ii: (bb, 0, 0)),
-            pl.BlockSpec((1, _BI, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, bi, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BI, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, _BI, d), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, bi, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, bi, d), lambda bb, ii: (bb, ii, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, np_, np_, d), q3.dtype),
@@ -121,12 +126,12 @@ def _fwd_pallas(q3, k3, v3, e4, n_real: int, dk: int, interpret: bool):
 def _bwd_kernel(n_real: int, inv_sqrt_dk: float, q_ref, k_ref, v_ref, e_ref,
                 ge_ref, gn_ref, dq_ref, dk_ref, dv_ref, de_ref):
     i = pl.program_id(1)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    e = e_ref[0]
-    ge = ge_ref[0]          # [BI, Np, D] grad wrt edge_pre
-    gn = gn_ref[0]          # [BI, D]    grad wrt node_agg
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    e = e_ref[0].astype(jnp.float32)
+    ge = ge_ref[0].astype(jnp.float32)  # [BI, Np, D] grad wrt edge_pre
+    gn = gn_ref[0].astype(jnp.float32)  # [BI, D]    grad wrt node_agg
 
     np_ = k.shape[0]
     base = (q[:, None, :] * k[None, :, :]) * inv_sqrt_dk
@@ -147,8 +152,9 @@ def _bwd_kernel(n_real: int, inv_sqrt_dk: float, q_ref, k_ref, v_ref, e_ref,
     dt = ge + dt_soft
 
     dbase = dt * mod
-    de_ref[0] = dt * base * (2.0 * e + 1.0)
-    dq_ref[0] = jnp.sum(dbase * k[None, :, :], axis=1) * inv_sqrt_dk
+    de_ref[0] = (dt * base * (2.0 * e + 1.0)).astype(de_ref.dtype)
+    dq_ref[0] = (jnp.sum(dbase * k[None, :, :], axis=1)
+                 * inv_sqrt_dk).astype(dq_ref.dtype)
 
     # accumulate dk/dv over query blocks (grid dim 1 is innermost, so the
     # same (b) output block stays resident across the i sweep)
@@ -157,31 +163,33 @@ def _bwd_kernel(n_real: int, inv_sqrt_dk: float, q_ref, k_ref, v_ref, e_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0] += jnp.sum(dbase * q[:, None, :], axis=0) * inv_sqrt_dk
-    dv_ref[0] += jnp.sum(s * gn[:, None, :], axis=0)
+    dk_ref[0] += (jnp.sum(dbase * q[:, None, :], axis=0)
+                  * inv_sqrt_dk).astype(dk_ref.dtype)
+    dv_ref[0] += jnp.sum(s * gn[:, None, :], axis=0).astype(dv_ref.dtype)
 
 
 def _bwd_pallas(q3, k3, v3, e4, ge, gn, n_real: int, dk: int,
                 interpret: bool):
     b, np_, d = q3.shape
-    grid = (b, np_ // _BI)
+    bi = _block_rows(q3.dtype)
+    grid = (b, np_ // bi)
     kern = functools.partial(_bwd_kernel, n_real, 1.0 / math.sqrt(dk))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BI, d), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, bi, d), lambda bb, ii: (bb, ii, 0)),
             pl.BlockSpec((1, np_, d), lambda bb, ii: (bb, 0, 0)),
             pl.BlockSpec((1, np_, d), lambda bb, ii: (bb, 0, 0)),
-            pl.BlockSpec((1, _BI, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, _BI, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec((1, _BI, d), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, bi, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, bi, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, bi, d), lambda bb, ii: (bb, ii, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BI, d), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, bi, d), lambda bb, ii: (bb, ii, 0)),
             pl.BlockSpec((1, np_, d), lambda bb, ii: (bb, 0, 0)),
             pl.BlockSpec((1, np_, d), lambda bb, ii: (bb, 0, 0)),
-            pl.BlockSpec((1, _BI, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, bi, np_, d), lambda bb, ii: (bb, ii, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, np_, d), q3.dtype),      # dq
@@ -196,9 +204,9 @@ def _bwd_pallas(q3, k3, v3, e4, ge, gn, n_real: int, dk: int,
 # ---------------------------------------------------------------- public op
 
 @functools.lru_cache(maxsize=64)
-def _make_op(n: int, h: int, dk: int, interpret: bool):
+def _make_op(n: int, h: int, dk: int, interpret: bool, dtype_name: str):
     d = h * dk
-    np_ = _round_up(n, _BI)
+    np_ = _round_up(n, 16 if dtype_name == "bfloat16" else 8)
 
     @jax.custom_vjp
     def op(q3, k3, v3, e4):
@@ -236,7 +244,7 @@ def edge_modulated_attention(q, k, v, e, *, interpret: bool | None = None):
     if d % 128 != 0:
         return reference_attention(q, k, v, e)
 
-    op, np_, _ = _make_op(n, h, dk, interpret)
+    op, np_, _ = _make_op(n, h, dk, interpret, jnp.dtype(q.dtype).name)
     pad_n = np_ - n
     q3 = jnp.pad(q.reshape(b, n, d), ((0, 0), (0, pad_n), (0, 0)))
     k3 = jnp.pad(k.reshape(b, n, d), ((0, 0), (0, pad_n), (0, 0)))

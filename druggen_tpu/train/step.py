@@ -64,17 +64,21 @@ def init_state(g_model, d_model, g_opt, d_opt, key, vertexes: int,
 
 def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
-                    compute_dtype=jnp.float32, donate: bool = True):
+                    compute_dtype=jnp.float32, donate: bool = True,
+                    node_mode: str = "labels"):
     """Build the jitted step.
 
-    step(state, key, x_labels [B,N] int, a_labels [B,N,N] int,
-         drug_x_labels, drug_a_labels) -> (new_state, metrics dict,
+    step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
+         drug_x, drug_a_labels) -> (new_state, metrics dict,
          (node_logits, edge_logits)).
 
     ``key`` is the *base* PRNG key; per-step randomness is derived by
     folding in the step counter (deterministic resume).  For the NoTarget
     submodel the drug inputs are ignored and the critic sees the ChEMBL
-    graphs themselves (reference train.py:340-345)."""
+    graphs themselves (reference train.py:340-345).
+
+    ``node_mode='dense'`` (the --features flag path): x/drug_x arrive as
+    pre-built float blocks [B,N,m_dim+F] instead of int labels."""
 
     def g_apply(params, rng, e, n):
         return g_model.apply(params, e, n, deterministic=False,
@@ -89,12 +93,19 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         step_key = jax.random.fold_in(key, state.step)
         k_gp, k_gdrop, k_ddrop, k_gdrop2, k_ddrop2 = jax.random.split(step_key, 5)
 
-        x = jax.nn.one_hot(x_labels, m_dim, dtype=compute_dtype)
+        if node_mode == "dense":
+            x = x_labels.astype(compute_dtype)
+        else:
+            x = jax.nn.one_hot(x_labels, m_dim, dtype=compute_dtype)
         a = jax.nn.one_hot(a_labels, b_dim, dtype=compute_dtype)
         if submodel == "NoTarget":
             disc_x, disc_a = x, a
         else:
-            disc_x = jax.nn.one_hot(drug_x_labels, m_dim, dtype=compute_dtype)
+            if node_mode == "dense":
+                disc_x = drug_x_labels.astype(compute_dtype)
+            else:
+                disc_x = jax.nn.one_hot(drug_x_labels, m_dim,
+                                        dtype=compute_dtype)
             disc_a = jax.nn.one_hot(drug_a_labels, b_dim, dtype=compute_dtype)
 
         # ---- D update (reference train.py:352-368)
@@ -129,3 +140,38 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
+                    m_dim: int, b_dim: int, submodel: str = "DrugGEN",
+                    compute_dtype=jnp.float32, donate: bool = True,
+                    node_mode: str = "labels"):
+    """K steps per dispatch via ``lax.scan`` — zero Python in the hot loop.
+
+    multi_step(state, key, x [K,B,N], a [K,B,N,N], drug_x, drug_a)
+      -> (new_state, metrics dict of [K] arrays, last (node, edge) logits).
+
+    The single-step ``make_train_step`` already fuses a whole iteration;
+    this removes the remaining per-step host dispatch (which costs tens of
+    ms through remote-attached TPUs) by scanning over a stacked batch
+    block.  K is static (recompiles per distinct K)."""
+    inner = make_train_step(g_model, d_model, g_opt, d_opt,
+                            lambda_gp=lambda_gp, m_dim=m_dim, b_dim=b_dim,
+                            submodel=submodel, compute_dtype=compute_dtype,
+                            donate=False, node_mode=node_mode)
+    # reuse the *unjitted* semantics by calling through the jitted fn inside
+    # scan is fine: jit-of-jit inlines.
+
+    def multi_fn(state, key, xs, as_, dxs, das):
+        def body(st, batch):
+            x, a, dx, da = batch
+            st, metrics, outs = inner(st, key, x, a, dx, da)
+            return st, (metrics, outs)
+
+        state, (metrics, outs) = jax.lax.scan(
+            body, state, (xs, as_, dxs, das))
+        last_outs = jax.tree_util.tree_map(lambda o: o[-1], outs)
+        return state, metrics, last_outs
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi_fn, donate_argnums=donate_argnums)

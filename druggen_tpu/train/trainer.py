@@ -61,12 +61,15 @@ class Trainer:
                                         cfg.max_atom,
                                         cache_dir=os.path.join(cfg.mol_data_dir, "vocab"))
         self.data = data if data is not None else load_dataset(
-            cfg.raw_file, self.vocab, cfg.max_atom, cfg.mol_data_dir)
+            cfg.raw_file, self.vocab, cfg.max_atom, cfg.mol_data_dir,
+            features=cfg.features)
         self.drug_data = drug_data if drug_data is not None else load_dataset(
-            cfg.drug_raw_file, self.vocab, cfg.max_atom, cfg.drug_data_dir)
+            cfg.drug_raw_file, self.vocab, cfg.max_atom, cfg.drug_data_dir,
+            features=cfg.features)
 
-        # shape inference from the dataset (reference train.py:117-119)
-        self.m_dim = self.vocab.m_dim
+        # shape inference from the dataset (reference train.py:117-119:
+        # m_dim = atom types, or the widened one-hot+features block width)
+        self.m_dim = self.vocab.m_dim + self.data.feature_dim
         self.b_dim = self.vocab.b_dim
         self.vertexes = int(self.data.x.shape[1])
 
@@ -94,10 +97,18 @@ class Trainer:
                            jax.random.fold_in(self.key, 0), self.vertexes,
                            self.m_dim, self.b_dim)
         self.state = shard_state(self.mesh, state)
-        self.step_fn = make_train_step(
-            self.G, self.D, self.g_opt, self.d_opt, lambda_gp=cfg.lambda_gp,
-            m_dim=self.m_dim, b_dim=self.b_dim, submodel=cfg.submodel,
-            compute_dtype=self.compute_dtype)
+        step_kwargs = dict(lambda_gp=cfg.lambda_gp, m_dim=self.m_dim,
+                           b_dim=self.b_dim, submodel=cfg.submodel,
+                           compute_dtype=self.compute_dtype,
+                           node_mode="dense" if cfg.features else "labels")
+        self.step_fn = make_train_step(self.G, self.D, self.g_opt,
+                                       self.d_opt, **step_kwargs)
+        self.multi_step_fn = None
+        if cfg.steps_per_dispatch > 1:
+            from druggen_tpu.train.step import make_multi_step
+
+            self.multi_step_fn = make_multi_step(
+                self.G, self.D, self.g_opt, self.d_opt, **step_kwargs)
 
         # ---- dirs + logging (reference train.py:283-289)
         self.run_name = cfg.run_name
@@ -152,20 +163,60 @@ class Trainer:
                                        seed=cfg.seed, loop=True))
         print(f"Start training... ({len(self.data)} mols, "
               f"{len(self.drug_data)} drugs, mesh={self.mesh.shape})")
+        K = max(cfg.steps_per_dispatch, 1)
         for epoch in range(cfg.epoch):
-            for it, (x, a) in enumerate(mol_iter.epoch_batches(epoch)):
+            batch_stream = mol_iter.epoch_batches(epoch)
+            it = -1
+            for x, a in batch_stream:
                 dx, da = next(drug_iter)
-                xb, ab, dxb, dab = shard_batch(self.mesh, x, a, dx, da)
-                self.state, metrics, (node_logits, edge_logits) = self.step_fn(
-                    self.state, self.key, xb, ab, dxb, dab)
+                if K > 1:
+                    # stack K batches and scan them in one dispatch
+                    xs, as_, dxs, das = [x], [a], [dx], [da]
+                    for _ in range(K - 1):
+                        nxt = next(batch_stream, None)
+                        if nxt is None:
+                            break
+                        xs.append(nxt[0])
+                        as_.append(nxt[1])
+                        d2 = next(drug_iter)
+                        dxs.append(d2[0])
+                        das.append(d2[1])
+                    if len(xs) == K:
+                        stack = [np.stack(arr) for arr in (xs, as_, dxs, das)]
+                        self.state, metrics_k, (node_logits, edge_logits) = \
+                            self.multi_step_fn(self.state, self.key, *stack)
+                        it += len(xs)
+                        metrics = {"d_loss": metrics_k["d_loss"][-1],
+                                   "g_loss": metrics_k["g_loss"][-1]}
+                        x, a = xs[-1], as_[-1]
+                    else:
+                        # tail smaller than K: fall back to single steps
+                        for xt, at, dxt, dat in zip(xs, as_, dxs, das):
+                            xb, ab, dxb, dab = shard_batch(
+                                self.mesh, xt, at, dxt, dat)
+                            self.state, metrics, (node_logits, edge_logits) \
+                                = self.step_fn(self.state, self.key,
+                                               xb, ab, dxb, dab)
+                            it += 1
+                        x, a = xs[-1], as_[-1]
+                else:
+                    xb, ab, dxb, dab = shard_batch(self.mesh, x, a, dx, da)
+                    self.state, metrics, (node_logits, edge_logits) = \
+                        self.step_fn(self.state, self.key, xb, ab, dxb, dab)
+                    it += 1
                 step = int(self.state.step)
                 self.logger.log({"epoch": epoch, "iter": it,
                                  "d_loss": float(metrics["d_loss"]),
                                  "g_loss": float(metrics["g_loss"])},
-                                step=step, echo=(it % 50 == 0))
+                                step=step, echo=(it % 50 < K))
 
-                if (it + 1) % cfg.log_sample_step == 0:
-                    chem = training_metrics(node_logits, edge_logits, x, a,
+                if (it + 1) % cfg.log_sample_step < K:
+                    # in --features mode x is a dense block; recover atom
+                    # labels from the one-hot prefix for the real-side decode
+                    x_labels = (np.argmax(x[..., :self.vocab.m_dim], -1)
+                                if cfg.features else x)
+                    chem = training_metrics(node_logits, edge_logits,
+                                            x_labels, a,
                                             self.vocab, self.drug_smiles,
                                             self.drug_fps,
                                             max_atom=self.vertexes)

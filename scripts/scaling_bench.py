@@ -81,16 +81,22 @@ def main():
         a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
         xb, ab, dxb, dab = shard_batch(mesh, x, a, x.copy(), a.copy())
         key = jax.random.PRNGKey(1)
+        metrics = None
         for _ in range(3):
             state, metrics, _ = step(state, key, xb, ab, dxb, dab)
-        jax.block_until_ready(metrics["d_loss"])
-        times = []
-        for _ in range(args.iters):
+        float(metrics["d_loss"])  # hard sync (see bench.py methodology note)
+
+        def chain(k, st):
             t0 = time.perf_counter()
-            state, metrics, _ = step(state, key, xb, ab, dxb, dab)
-            jax.block_until_ready(metrics["d_loss"])
-            times.append(time.perf_counter() - t0)
-        sec = sorted(times)[len(times) // 2]
+            last = None
+            for _ in range(k):
+                st, last, _ = step(st, key, xb, ab, dxb, dab)
+            float(last["d_loss"])
+            return time.perf_counter() - t0, st
+
+        w_small, state = chain(3, state)
+        w_large, state = chain(3 + args.iters, state)
+        sec = max((w_large - w_small) / args.iters, 1e-9)
         mols = batch / sec
         edges = mols * vert * vert
         if base_throughput is None:

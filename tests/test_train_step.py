@@ -166,3 +166,34 @@ def test_gd_params_export_roundtrip(tmp_path, setup):
     for a1, a2 in zip(jax.tree_util.tree_leaves(state.g_params),
                       jax.tree_util.tree_leaves(restored.g_params)):
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_multi_step_matches_sequential(setup):
+    """K scanned steps == K sequential jitted steps (same PRNG fold-in per
+    step counter)."""
+    from druggen_tpu.train.step import make_multi_step
+
+    g, d, state, step, key, (x, a, dx, da) = setup
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    multi = make_multi_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=M_DIM,
+                            b_dim=B_DIM, donate=False)
+    K = 3
+    xs = np.stack([x] * K)
+    as_ = np.stack([a] * K)
+    dxs = np.stack([dx] * K)
+    das = np.stack([da] * K)
+    m_state, m_metrics, m_outs = multi(state, key, xs, as_, dxs, das)
+    # sequential
+    s = state
+    seq_losses = []
+    for i in range(K):
+        s, m, outs = step(s, key, x, a, dx, da)
+        seq_losses.append(float(m["d_loss"]))
+    np.testing.assert_allclose(np.asarray(m_metrics["d_loss"]),
+                               np.array(seq_losses), rtol=1e-5)
+    assert int(m_state.step) == int(s.step) == K + int(state.step)
+    for a1, a2 in zip(jax.tree_util.tree_leaves(m_state.g_params),
+                      jax.tree_util.tree_leaves(s.g_params)):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-5, atol=1e-6)
