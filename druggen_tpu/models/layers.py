@@ -106,24 +106,42 @@ class GraphMHA(nn.Module):
         q = _dense(c, c, self.dtype, name="q")(node).reshape(b, n, h, dk)
         k = _dense(c, c, self.dtype, name="k")(node).reshape(b, n, h, dk)
         v = _dense(c, c, self.dtype, name="v")(node).reshape(b, n, h, dk)
-        e = _dense(c, c, self.dtype, name="e")(edge).reshape(b, n, n, h, dk)
 
+        e_dense = _dense(c, c, self.dtype, name="e")
         out_e = _dense(c, c, self.dtype, name="out_e")
         out_n = _dense(c, c, self.dtype, name="out_n")
 
         if self.use_pallas:
-            from druggen_tpu.ops.fused_attention import edge_modulated_attention
-            edge_pre, node_agg = edge_modulated_attention(q, k, v, e)
-        else:
-            # attn[b,i,j,h,dk] = q_i * k_j / sqrt(dk) * (e_ij + 1) * e_ij
-            attn = q[:, :, None] * k[:, None, :, :, :]      # [b,n,n,h,dk]
-            attn = attn / math.sqrt(dk)
-            attn = attn * (e + 1.0) * e
-            edge_pre = attn.reshape(b, n, n, c)
-            attn = jax.nn.softmax(attn, axis=2)             # over keys j,
-            # independently per channel (h, dk) — reference layers.py:130
-            node_agg = (attn * v[:, None, :, :, :]).sum(axis=2)  # [b,n,h,dk]
-            node_agg = node_agg.reshape(b, n, c)
+            # Fully-fused path: the e and out_e projections run INSIDE the
+            # Pallas kernel (druggen_tpu/ops/fused_attention.py v3).  Touch
+            # both Dense modules on a dummy row so their parameters exist
+            # with the standard names (checkpoint-compatible with the XLA
+            # path), then hand the raw weights to the kernel.
+            _ = e_dense(edge[:, :1, :1, :])
+            _ = out_e(edge[:, :1, :1, :])
+            we = e_dense.variables["params"]["kernel"]
+            be = e_dense.variables["params"]["bias"]
+            woe = out_e.variables["params"]["kernel"]
+            boe = out_e.variables["params"]["bias"]
+            from druggen_tpu.ops.fused_attention import (
+                edge_modulated_attention_proj,
+            )
+
+            edge_out, node_agg = edge_modulated_attention_proj(
+                q, k, v, edge, we, be, woe, boe)
+            node_out = out_n(node_agg)
+            return node_out, edge_out
+
+        e = e_dense(edge).reshape(b, n, n, h, dk)
+        # attn[b,i,j,h,dk] = q_i * k_j / sqrt(dk) * (e_ij + 1) * e_ij
+        attn = q[:, :, None] * k[:, None, :, :, :]      # [b,n,n,h,dk]
+        attn = attn / math.sqrt(dk)
+        attn = attn * (e + 1.0) * e
+        edge_pre = attn.reshape(b, n, n, c)
+        attn = jax.nn.softmax(attn, axis=2)             # over keys j,
+        # independently per channel (h, dk) — reference layers.py:130
+        node_agg = (attn * v[:, None, :, :, :]).sum(axis=2)  # [b,n,h,dk]
+        node_agg = node_agg.reshape(b, n, c)
 
         edge_out = out_e(edge_pre)
         node_out = out_n(node_agg)
