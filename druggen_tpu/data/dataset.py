@@ -200,5 +200,10 @@ class BatchIterator:
         return e
 
     def _infinite(self):
+        if len(self) == 0:
+            raise ValueError(
+                f"BatchIterator would yield no batches: dataset of "
+                f"{len(self.data)} molecules < batch_size {self.batch_size} "
+                f"with drop_last (use a smaller batch or a larger corpus)")
         while True:
             yield from self.epoch_batches(self._next_epoch())

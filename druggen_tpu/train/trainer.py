@@ -159,8 +159,19 @@ class Trainer:
     def train(self) -> GANState:
         cfg = self.cfg
         mol_iter = BatchIterator(self.data, cfg.batch_size, seed=cfg.seed)
-        drug_iter = iter(BatchIterator(self.drug_data, cfg.batch_size,
-                                       seed=cfg.seed, loop=True))
+        if cfg.submodel == "NoTarget":
+            # the step ignores the drug inputs for NoTarget
+            # (reference train.py:343-345); feed the mol batch as a
+            # placeholder instead of consuming the (possibly tiny) drug set
+            def _echo_mol():
+                while True:
+                    for batch in mol_iter.epoch_batches(10 ** 6):
+                        yield batch
+
+            drug_iter = _echo_mol()
+        else:
+            drug_iter = iter(BatchIterator(self.drug_data, cfg.batch_size,
+                                           seed=cfg.seed, loop=True))
         print(f"Start training... ({len(self.data)} mols, "
               f"{len(self.drug_data)} drugs, mesh={self.mesh.shape})")
         K = max(cfg.steps_per_dispatch, 1)
