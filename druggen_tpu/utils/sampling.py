@@ -47,7 +47,12 @@ def training_metrics(node_logits, edge_logits, real_x_labels, real_a_labels,
     gen_smiles = mols_to_smiles_list(gen_mols)
     gen_saves = [None if s is None else strip_to_largest_fragment(s)
                  for s in gen_smiles]
-    real_smiles = [mol_to_smiles(m) for m in real_mols if m is not None]
+    # NOTE deviation: the reference compares largest-fragment generated
+    # SMILES against *unstripped* real decodes (which keep their PAD-'*'
+    # fragments), so its train-time Novelty is ~always 1.  We strip the
+    # real side identically, making Novelty-vs-real-batch meaningful.
+    real_smiles = [strip_to_largest_fragment(mol_to_smiles(m))
+                   for m in real_mols if m is not None]
 
     gen_fps = np.stack([morgan_fingerprint(m) for m in gen_mols
                         if m is not None]) if any(gen_mols) else np.zeros((0, 1024), np.uint8)
