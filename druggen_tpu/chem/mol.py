@@ -462,6 +462,14 @@ class Mol:
                     return 1
             return 0
 
+        def has_exocyclic_double(i: int) -> bool:
+            for bi in self.adj()[i]:
+                b = self.bonds[bi]
+                j = b.other(i)
+                if b.type == BondType.DOUBLE and not self.atoms[j].aromatic:
+                    return True
+            return False
+
         rings = self.ring_info()
         for ci in range(c):
             members = [i for i in range(n) if comp[i] == ci]
@@ -475,6 +483,14 @@ class Mol:
                         if rtot % 4 == 2:
                             ok = True
                             break
+            if not ok and any(has_exocyclic_double(i) for i in members):
+                # quinoid spellings: RDKit-canonical SMILES legitimately mix
+                # aromatic atoms with exocyclic double bonds (e.g. fused
+                # pyridinone systems); their in-ring pi count undershoots, so
+                # exempt such systems from the 4n+2 rejection (plain
+                # anti-aromatics like c1ccc1 have no exocyclic doubles and
+                # are still rejected)
+                ok = True
             if not ok:
                 raise SanitizeError(
                     f"aromatic system {{{members[0]}...}} violates Hückel "
