@@ -74,6 +74,10 @@ class TrainConfig:
     # train.py:213-214 uses torch.optim.AdamW default weight_decay)
     steps_per_dispatch: int = 1          # >1: lax.scan K train steps per
     # host dispatch (hides host/relay latency; metrics logged per chunk)
+    distributed: bool = False            # multi-host: jax.distributed.init
+    coordinator_address: str = ""        # optional explicit coordinator
+    num_processes: int = 0               # 0 => env-based discovery
+    process_id: int = -1                 # -1 => env-based discovery
 
     @property
     def run_name(self) -> str:

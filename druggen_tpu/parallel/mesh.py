@@ -49,3 +49,38 @@ def shard_state(mesh: Mesh, state):
     """Replicate a parameter/optimizer pytree over the mesh."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
+
+
+def init_distributed(coordinator_address: str = "", num_processes: int = 0,
+                     process_id: int = -1) -> tuple[int, int]:
+    """Multi-host initialization (SURVEY.md §2.2 multi-host row).
+
+    On TPU pods with default env-based discovery every argument can be
+    empty; explicit values support manual bring-up.  Returns
+    (process_index, process_count)."""
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes > 0:
+        kwargs["num_processes"] = num_processes
+    if process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def global_batch_from_local(mesh: Mesh, *arrays):
+    """Assemble globally-sharded batch arrays from per-host local shards.
+
+    Single-process: plain sharded device_put.  Multi-process: each host
+    contributes its local slice of the global batch
+    (``jax.make_array_from_process_local_data``); the same jitted SPMD
+    train step then runs unchanged — XLA routes the gradient all-reduce
+    over ICI within a slice and DCN across hosts."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, *arrays)
+    out = []
+    for a in arrays:
+        sh = batch_sharding(mesh, np.ndim(a))
+        out.append(jax.make_array_from_process_local_data(sh, np.asarray(a)))
+    return tuple(out)

@@ -32,6 +32,7 @@ from druggen_tpu.config import TrainConfig
 from druggen_tpu.data.dataset import BatchIterator, GraphData, load_dataset
 from druggen_tpu.models import Discriminator, Generator
 from druggen_tpu.parallel import make_mesh, shard_batch, shard_state
+from druggen_tpu.parallel.mesh import global_batch_from_local
 from druggen_tpu.train import checkpoint as ckpt
 from druggen_tpu.train.step import (
     GANState,
@@ -55,6 +56,16 @@ class Trainer:
 
         if cfg.platform:
             jax.config.update("jax_platforms", cfg.platform)
+
+        # multi-host bring-up before any backend use (SURVEY.md §2.2)
+        self.host_id, self.num_hosts = 0, 1
+        if cfg.distributed:
+            from druggen_tpu.parallel.mesh import init_distributed
+
+            self.host_id, self.num_hosts = init_distributed(
+                cfg.coordinator_address, cfg.num_processes, cfg.process_id)
+            print(f"multi-host: process {self.host_id}/{self.num_hosts}, "
+                  f"{len(jax.devices())} global devices")
 
         # ---- data (reference train.py:76-115)
         self.vocab = vocab or get_vocab(cfg.raw_file, cfg.drug_raw_file,
@@ -158,7 +169,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self) -> GANState:
         cfg = self.cfg
-        mol_iter = BatchIterator(self.data, cfg.batch_size, seed=cfg.seed)
+        mol_iter = BatchIterator(self.data, cfg.batch_size, seed=cfg.seed,
+                                 host_id=self.host_id,
+                                 num_hosts=self.num_hosts)
         if cfg.submodel == "NoTarget":
             # the step ignores the drug inputs for NoTarget
             # (reference train.py:343-345); feed the mol batch as a
@@ -203,7 +216,7 @@ class Trainer:
                     else:
                         # tail smaller than K: fall back to single steps
                         for xt, at, dxt, dat in zip(xs, as_, dxs, das):
-                            xb, ab, dxb, dab = shard_batch(
+                            xb, ab, dxb, dab = global_batch_from_local(
                                 self.mesh, xt, at, dxt, dat)
                             self.state, metrics, (node_logits, edge_logits) \
                                 = self.step_fn(self.state, self.key,
@@ -211,7 +224,8 @@ class Trainer:
                             it += 1
                         x, a = xs[-1], as_[-1]
                 else:
-                    xb, ab, dxb, dab = shard_batch(self.mesh, x, a, dx, da)
+                    xb, ab, dxb, dab = global_batch_from_local(
+                        self.mesh, x, a, dx, da)
                     self.state, metrics, (node_logits, edge_logits) = \
                         self.step_fn(self.state, self.key, xb, ab, dxb, dab)
                     it += 1
