@@ -19,8 +19,6 @@ import json
 
 import numpy as np
 
-from druggen_tpu.chem.filters import is_pains, load_pains_filters
-from druggen_tpu.chem.descriptors import obey_lipinski, obey_veber, qed, sa_score
 from druggen_tpu.chem.fingerprints import fingerprints_for_smiles
 from druggen_tpu.chem.smiles import mol_from_smiles
 from druggen_tpu.chem.vocab import read_smiles_file
@@ -35,18 +33,24 @@ from druggen_tpu.metrics.frag_scaf import frag_similarity, scaf_similarity
 
 
 class MoleculeEvaluator:
-    """Reference MoleculeEvaluator (results/evaluate.py:19-142)."""
+    """Reference MoleculeEvaluator (results/evaluate.py:19-142); n_jobs
+    parallelizes the per-molecule descriptor loops with a process pool
+    (reference mapper(n_jobs), utils.py:423-449)."""
 
-    def __init__(self, gen_smiles, ref_smiles_1, ref_smiles_2=None):
+    def __init__(self, gen_smiles, ref_smiles_1, ref_smiles_2=None,
+                 n_jobs: int = 1):
+        from druggen_tpu.metrics import parallel_map as pm
+
+        self.pm = pm
+        self.n_jobs = n_jobs
         self.gen_smiles = gen_smiles
         self.ref_smiles_1 = ref_smiles_1
         self.ref_smiles_2 = ref_smiles_2
-        self.gen_mols = [m for s in gen_smiles
-                         if s and (m := mol_from_smiles(s)) is not None]
-        self.gen_valid = [s for s in gen_smiles
-                          if s and mol_from_smiles(s) is not None]
+        canon = pm.mapper(n_jobs)(pm.canonical_of, gen_smiles)
+        self.gen_valid = [s for s, c in zip(gen_smiles, canon)
+                          if c is not None]
+        self.gen_mols = [mol_from_smiles(s) for s in self.gen_valid]
         self.fcd = FCD()
-        self.pains_catalog = load_pains_filters()
 
     def basic(self):
         fps = fingerprints_for_smiles(self.gen_valid)
@@ -63,8 +67,10 @@ class MoleculeEvaluator:
         return out
 
     def properties(self):
-        qeds = [qed(m) for m in self.gen_mols]
-        sas = [sa_score(m) for m in self.gen_mols]
+        mp = self.pm.mapper(self.n_jobs)
+        qeds = [v for v in mp(self.pm.qed_of, self.gen_valid)
+                if v is not None]
+        sas = [v for v in mp(self.pm.sa_of, self.gen_valid) if v is not None]
         return {
             "qed_mean": float(np.mean(qeds)) if qeds else 0.0,
             "qed_std": float(np.std(qeds)) if qeds else 0.0,
@@ -91,9 +97,13 @@ class MoleculeEvaluator:
         return out
 
     def drug_likeness(self):
-        lip = [obey_lipinski(m) for m in self.gen_mols]
-        veb = [obey_veber(m) for m in self.gen_mols]
-        pains = [not is_pains(m, self.pains_catalog) for m in self.gen_mols]
+        mp = self.pm.mapper(self.n_jobs)
+        lip = [v for v in mp(self.pm.lipinski_of, self.gen_valid)
+               if v is not None]
+        veb = [v for v in mp(self.pm.veber_of, self.gen_valid)
+               if v is not None]
+        pains = [v for v in mp(self.pm.pains_pass_of, self.gen_valid)
+                 if v is not None]
         return {
             "lipinski_mean": float(np.mean(lip)) if lip else 0.0,
             "lipinski_std": float(np.std(lip)) if lip else 0.0,
@@ -128,7 +138,7 @@ def read_gen_csv(path: str, smiles_col: str = "SMILES") -> list[str]:
 
 def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
                                   smiles_col="SMILES",
-                                  output_prefix="results"):
+                                  output_prefix="results", n_jobs: int = 8):
     gen = read_gen_csv(gen_path, smiles_col)
     ref1 = read_smiles_file(ref_path_1)
     ref2 = read_smiles_file(ref_path_2) if ref_path_2 else None
@@ -138,7 +148,7 @@ def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
         raise ValueError("No SMILES found in reference set 1")
     print(f"Generated: {len(gen)}  Ref1: {len(ref1)}"
           + (f"  Ref2: {len(ref2)}" if ref2 else ""))
-    ev = MoleculeEvaluator(gen, ref1, ref2)
+    ev = MoleculeEvaluator(gen, ref1, ref2, n_jobs=n_jobs)
     results = ev.evaluate_all()
     results.update({
         "n_generated": len(gen),
@@ -164,8 +174,10 @@ if __name__ == "__main__":
     parser.add_argument("--ref2")
     parser.add_argument("--smiles-col", default="SMILES")
     parser.add_argument("--output", default="results")
+    parser.add_argument("--n-jobs", type=int, default=8)
     args = parser.parse_args()
     evaluate_molecules_from_files(args.gen, args.ref1, args.ref2,
                                   smiles_col=args.smiles_col,
-                                  output_prefix=args.output)
+                                  output_prefix=args.output,
+                                  n_jobs=args.n_jobs)
     print(f"Evaluation complete. Results in {args.output}.json/.csv")
