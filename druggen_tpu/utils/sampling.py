@@ -92,6 +92,7 @@ def save_sample_artifacts(sample_dir: str, epoch: int, it: int,
         if not smi:
             continue
         n_valid += 1
+        smi_clean = strip_to_largest_fragment(smi)
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, f"{i + 1}.txt"), "w") as f:
             f.write("edge matrix:\n")
@@ -99,7 +100,7 @@ def save_sample_artifacts(sample_dir: str, epoch: int, it: int,
             f.write("\nnode matrix:\n")
             np.savetxt(f, node_labels[i], fmt="%d")
             f.write(f"\nsmiles:\n{smi}\n")
-        lines.append(smi)
+        lines.append(smi_clean)
     if lines:
         with open(os.path.join(out_dir, "samples.smi"), "w") as f:
             f.write("\n".join(lines) + "\n")
