@@ -220,10 +220,22 @@ def main():
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
 
-    state, step, step_args = build(args.batch, args.vertexes, args.dim,
-                                   args.depth, args.heads, args.use_pallas,
-                                   args.compute_dtype)
-    sec = bench_step(state, step, step_args, k_large=max(args.iters, 10))
+    try:
+        state, step, step_args = build(args.batch, args.vertexes, args.dim,
+                                       args.depth, args.heads,
+                                       args.use_pallas, args.compute_dtype)
+        sec = bench_step(state, step, step_args, k_large=max(args.iters, 10))
+    except Exception as e:  # the remote-TPU relay occasionally 500s on
+        # large compiles (PERF.md); emit a well-formed error record rather
+        # than crashing so the driver still gets its JSON line
+        print(json.dumps({
+            "metric": "train_molecules_per_second",
+            "value": 0.0,
+            "unit": "mol/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"{type(e).__name__}: {e}"[:300]},
+        }))
+        return
     mols_per_s = args.batch / sec
     edges_per_s = mols_per_s * args.vertexes ** 2
 
