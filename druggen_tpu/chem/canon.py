@@ -154,7 +154,6 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
 
     import sys
     old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 2 * n + 100))
 
     def root_key(i: int):
         # prefer terminal atoms as the string start, then lowest rank
@@ -165,6 +164,7 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
     ring_edges: set[frozenset[int]] = set()
     visited = [False] * n
     comp_roots: list[int] = []
+    sys.setrecursionlimit(max(old_limit, 2 * n + 100))
 
     def classify(i: int, parent: int | None) -> None:
         visited[i] = True
@@ -180,10 +180,14 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
                 tree_edges.add(key)
                 classify(j, i)
 
-    for root in sorted(range(n), key=root_key):
-        if not visited[root]:
-            comp_roots.append(root)
-            classify(root, None)
+    try:
+        for root in sorted(range(n), key=root_key):
+            if not visited[root]:
+                comp_roots.append(root)
+                classify(root, None)
+    except Exception:
+        sys.setrecursionlimit(old_limit)
+        raise
 
     # ---- pass 2: emit
     ring_digit_of: dict[frozenset[int], int] = {}
