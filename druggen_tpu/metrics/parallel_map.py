@@ -13,8 +13,9 @@ from multiprocessing import Pool
 
 def mapper(n_jobs: int):
     """Reference ``mapper`` contract: ``mapper(1)`` = built-in map,
-    ``mapper(n)`` = pool map, pool objects pass through."""
-    if n_jobs == 1:
+    ``mapper(n)`` = pool map, pool objects pass through.  ``n_jobs <= 1``
+    (including 0) means serial."""
+    if isinstance(n_jobs, int) and n_jobs <= 1:
         def _mapper(fn, it):
             return list(map(fn, it))
         return _mapper

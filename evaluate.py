@@ -166,7 +166,7 @@ def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
     return results
 
 
-if __name__ == "__main__":
+def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Evaluate generated molecules against reference sets")
     parser.add_argument("--gen", required=True)
@@ -175,9 +175,13 @@ if __name__ == "__main__":
     parser.add_argument("--smiles-col", default="SMILES")
     parser.add_argument("--output", default="results")
     parser.add_argument("--n-jobs", type=int, default=8)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     evaluate_molecules_from_files(args.gen, args.ref1, args.ref2,
                                   smiles_col=args.smiles_col,
                                   output_prefix=args.output,
                                   n_jobs=args.n_jobs)
     print(f"Evaluation complete. Results in {args.output}.json/.csv")
+
+
+if __name__ == "__main__":
+    main()
