@@ -209,14 +209,18 @@ def torch_baseline_seconds(batch: int, vertexes: int, dim: int, depth: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128)
+    # Defaults are the best measured single-chip configuration (PERF.md
+    # sweep: bf16 halves the HBM traffic of this bandwidth-bound step and
+    # batch 512 amortizes dispatch); model shape stays the reference
+    # default (N=45, dim 128, depth 1, heads 8 — train.py:410-433).
+    p.add_argument("--batch", type=int, default=512)
     p.add_argument("--vertexes", type=int, default=45)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--depth", type=int, default=1)
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--use-pallas", action="store_true")
-    p.add_argument("--compute-dtype", default="float32")
+    p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
 

@@ -69,13 +69,35 @@ class InferenceEngine:
                                 f"{cfg.submodel}-G.ckpt")
             self.g_params = ckpt.load_params(path, template)
 
-        @jax.jit
-        def forward(params, a_labels, x_labels):
-            a = jax.nn.one_hot(a_labels, self.b_dim, dtype=self.compute_dtype)
-            x = jax.nn.one_hot(x_labels, self.m_dim, dtype=self.compute_dtype)
-            _, _, node_logits, edge_logits = self.G.apply(params, a, x)
-            return (jnp.argmax(node_logits, -1).astype(jnp.int32),
-                    jnp.argmax(edge_logits, -1).astype(jnp.int32))
+        if cfg.use_pallas:
+            # v4 fully-fused generator kernel (ops/fused_generator.py): the
+            # whole forward runs in VMEM, one grid step per graph.  Real
+            # one-hot adjacencies are symmetric, satisfying the kernel's
+            # precondition.
+            from druggen_tpu.ops.fused_generator import (
+                fused_generator_logits,
+            )
+
+            @jax.jit
+            def forward(params, a_labels, x_labels):
+                a = jax.nn.one_hot(a_labels, self.b_dim,
+                                   dtype=self.compute_dtype)
+                x = jax.nn.one_hot(x_labels, self.m_dim,
+                                   dtype=self.compute_dtype)
+                node_logits, edge_logits = fused_generator_logits(
+                    params, a, x, heads=cfg.heads)
+                return (jnp.argmax(node_logits, -1).astype(jnp.int32),
+                        jnp.argmax(edge_logits, -1).astype(jnp.int32))
+        else:
+            @jax.jit
+            def forward(params, a_labels, x_labels):
+                a = jax.nn.one_hot(a_labels, self.b_dim,
+                                   dtype=self.compute_dtype)
+                x = jax.nn.one_hot(x_labels, self.m_dim,
+                                   dtype=self.compute_dtype)
+                _, _, node_logits, edge_logits = self.G.apply(params, a, x)
+                return (jnp.argmax(node_logits, -1).astype(jnp.int32),
+                        jnp.argmax(edge_logits, -1).astype(jnp.int32))
 
         self._forward = forward
 
