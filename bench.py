@@ -97,7 +97,10 @@ def bench_step(state, step, args, warmup: int = 2, k_small: int = 5,
 
     w_small, state = chain(k_small, state)
     w_large, state = chain(k_large, state)
-    return max((w_large - w_small) / (k_large - k_small), 1e-9)
+    slope = (w_large - w_small) / (k_large - k_small)
+    # a non-positive slope means timing noise swamped the marginal cost
+    # (tiny CPU runs); fall back to the conservative mean per-step
+    return slope if slope > 0 else w_large / k_large
 
 
 def torch_baseline_seconds(batch: int, vertexes: int, dim: int, depth: int,
@@ -207,8 +210,83 @@ def torch_baseline_seconds(batch: int, vertexes: int, dim: int, depth: int,
     return times[len(times) // 2]
 
 
+def build_infer(batch: int, vertexes: int, dim: int, depth: int, heads: int,
+                use_pallas: bool, compute_dtype: str):
+    """Pure generator forward (the inference hot loop, engine.py:72-110):
+    one-hot encode int8 labels on device, G forward, argmax decode."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from druggen_tpu.chem.vocab import CHEMBL_VOCAB
+    from druggen_tpu.models import Generator
+
+    vocab = CHEMBL_VOCAB
+    m_dim, b_dim = vocab.m_dim, vocab.b_dim
+    cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    g = Generator(act="relu", vertexes=vertexes, edges=b_dim, nodes=m_dim,
+                  dropout=0.0, dim=dim, depth=depth, heads=heads, mlp_ratio=3,
+                  dtype=None if cdtype == jnp.float32 else cdtype)
+    params = g.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, vertexes, vertexes, b_dim)),
+                    jnp.zeros((1, vertexes, m_dim)))
+
+    if use_pallas:
+        from druggen_tpu.ops.fused_generator import fused_generator_logits
+
+        @jax.jit
+        def forward(params, a_labels, x_labels):
+            a = jax.nn.one_hot(a_labels, b_dim, dtype=cdtype)
+            x = jax.nn.one_hot(x_labels, m_dim, dtype=cdtype)
+            nl, el = fused_generator_logits(params, a, x, heads=heads)
+            return (jnp.argmax(nl, -1).astype(jnp.int32),
+                    jnp.argmax(el, -1).astype(jnp.int32))
+    else:
+        @jax.jit
+        def forward(params, a_labels, x_labels):
+            a = jax.nn.one_hot(a_labels, b_dim, dtype=cdtype)
+            x = jax.nn.one_hot(x_labels, m_dim, dtype=cdtype)
+            _, _, nl, el = g.apply(params, a, x)
+            return (jnp.argmax(nl, -1).astype(jnp.int32),
+                    jnp.argmax(el, -1).astype(jnp.int32))
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, b_dim, (batch, vertexes, vertexes)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    return params, forward, (a, x)
+
+
+def bench_infer(params, forward, args, k_small: int = 5,
+                k_large: int = 20) -> float:
+    """Marginal-slope timing of the inference forward (same relay-safe
+    protocol as bench_step; the argmax fetch is the hard sync)."""
+    a, x = args
+    n_labels, _ = forward(params, a, x)
+    int(n_labels[0, 0])  # warmup + hard sync
+
+    def chain(k):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(k):
+            last, _ = forward(params, a, x)
+        int(last[0, 0])
+        return time.perf_counter() - t0
+
+    w_small = chain(k_small)
+    w_large = chain(k_large)
+    slope = (w_large - w_small) / (k_large - k_small)
+    return slope if slope > 0 else w_large / k_large
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["train", "infer"], default="train")
+    # The environment pins JAX_PLATFORMS=axon via sitecustomize; the env
+    # var alone cannot override it (CLAUDE.md).  --platform cpu forces the
+    # CPU backend before any backend use, keeping smoke runs off the relay.
+    p.add_argument("--platform", default=None)
     # Defaults are the best measured single-chip configuration (PERF.md
     # sweep: bf16 halves the HBM traffic of this bandwidth-bound step and
     # batch 512 amortizes dispatch); model shape stays the reference
@@ -224,16 +302,31 @@ def main():
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    metric = ("train_molecules_per_second" if args.mode == "train"
+              else "infer_molecules_per_second")
     try:
-        state, step, step_args = build(args.batch, args.vertexes, args.dim,
-                                       args.depth, args.heads,
-                                       args.use_pallas, args.compute_dtype)
-        sec = bench_step(state, step, step_args, k_large=max(args.iters, 10))
+        if args.mode == "train":
+            state, step, step_args = build(
+                args.batch, args.vertexes, args.dim, args.depth, args.heads,
+                args.use_pallas, args.compute_dtype)
+            sec = bench_step(state, step, step_args,
+                             k_large=max(args.iters, 10))
+        else:
+            params, fwd, fwd_args = build_infer(
+                args.batch, args.vertexes, args.dim, args.depth, args.heads,
+                args.use_pallas, args.compute_dtype)
+            sec = bench_infer(params, fwd, fwd_args,
+                              k_large=max(args.iters, 10))
     except Exception as e:  # the remote-TPU relay occasionally 500s on
         # large compiles (PERF.md); emit a well-formed error record rather
         # than crashing so the driver still gets its JSON line
         print(json.dumps({
-            "metric": "train_molecules_per_second",
+            "metric": metric,
             "value": 0.0,
             "unit": "mol/s",
             "vs_baseline": 0.0,
@@ -244,14 +337,17 @@ def main():
     edges_per_s = mols_per_s * args.vertexes ** 2
 
     vs_baseline = 1.0
-    if args.torch_baseline:
+    if args.torch_baseline and args.mode == "train":
         tb = torch_baseline_seconds(args.batch, args.vertexes, args.dim,
                                     args.depth, args.heads)
         if tb:
             vs_baseline = tb / sec
 
+    workload = ("full WGAN-GP step (2 G fwd, 4 D fwd, double bwd)"
+                if args.mode == "train"
+                else "G forward + argmax decode (inference hot loop)")
     print(json.dumps({
-        "metric": "train_molecules_per_second",
+        "metric": metric,
         "value": round(mols_per_s, 2),
         "unit": "mol/s",
         "vs_baseline": round(vs_baseline, 3),
@@ -262,7 +358,7 @@ def main():
             "config": f"N{args.vertexes}_dim{args.dim}_depth{args.depth}"
                       f"_heads{args.heads}_{args.compute_dtype}"
                       f"{'_pallas' if args.use_pallas else ''},"
-                      "full WGAN-GP step (2 G fwd, 4 D fwd, double bwd)",
+                      + workload,
         },
     }))
 
