@@ -13,6 +13,8 @@ uniqueness/novelty metrics require; the strings also round-trip through
 
 from __future__ import annotations
 
+import functools
+
 from druggen_tpu.chem import periodic
 from druggen_tpu.chem.mol import BondType, Mol
 from druggen_tpu.chem.smiles import mol_from_smiles
@@ -244,9 +246,14 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
     return ".".join(out_parts)
 
 
+@functools.lru_cache(maxsize=1_000_000)
 def canonical_smiles(smiles: str) -> str | None:
     """Parse + sanitize + canonical write; None if invalid (the contract of
     the reference's ``canonic_smiles`` helper, ``src/util/utils.py:487-500``).
+
+    Memoized: metric kernels (novelty, uniqueness) re-canonicalize the same
+    training corpus every logging step; the cache turns that into a one-time
+    cost (~60 B/entry, bounded).
     """
     mol = mol_from_smiles(smiles)
     if mol is None:

@@ -312,4 +312,8 @@ def train_corrector(smiles_list, *, steps: int = 500, batch: int = 32,
             params, opt_state, jnp.asarray(src[idx]), jnp.asarray(tgt[idx]))
         if log_every and step % log_every == 0:
             print(f"corrector step {step}: loss {float(loss):.4f}")
+        elif step % 10 == 9:
+            # hard sync: through the remote-TPU relay, queueing more than
+            # ~20 dispatches between value fetches stalls (PERF.md)
+            float(loss)
     return Seq2SeqCorrector(model, params, tokenizer)
