@@ -23,7 +23,7 @@ import time
 
 
 def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
-          use_pallas: bool, compute_dtype: str):
+          use_pallas: bool, compute_dtype: str, remat: bool = False):
     import numpy as np
 
     import jax
@@ -49,8 +49,8 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
                   mlp_ratio=3,
                   dtype=None if cdtype == jnp.float32 else cdtype)
     # Pallas on G only; D's GP double-backward needs the XLA path
-    g = Generator(use_pallas=use_pallas, **kwargs)
-    d = Discriminator(use_pallas=False, **kwargs)
+    g = Generator(use_pallas=use_pallas, remat=remat, **kwargs)
+    d = Discriminator(use_pallas=False, remat=remat, **kwargs)
     g_opt, d_opt = make_optimizers(cfg)
     mesh = make_mesh()
     state = shard_state(mesh, init_state(
@@ -298,6 +298,9 @@ def main():
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--use-pallas", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each encoder block (recompute "
+                        "edge-stream intermediates in backward)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
@@ -313,7 +316,7 @@ def main():
         if args.mode == "train":
             state, step, step_args = build(
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
-                args.use_pallas, args.compute_dtype)
+                args.use_pallas, args.compute_dtype, args.remat)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:

@@ -180,7 +180,16 @@ class EncoderBlock(nn.Module):
 
 
 class TransformerEncoder(nn.Module):
-    """Stack of encoder blocks (reference layers.py:195-234)."""
+    """Stack of encoder blocks (reference layers.py:195-234).
+
+    ``remat=True`` wraps each block in :func:`flax.linen.remat`
+    (``jax.checkpoint``): the backward pass recomputes the block's
+    [B,N,N,*] edge-stream intermediates from its inputs instead of
+    storing them in HBM during the forward.  The WGAN-GP step is
+    HBM-bandwidth-bound while its FLOPs are ~2% of the MXU roofline
+    (PERF.md), so trading recompute for residual traffic is the right
+    direction on TPU; remat composes with the gradient-penalty
+    double-backward (``jax.checkpoint`` supports higher-order AD)."""
 
     dim: int
     depth: int
@@ -189,11 +198,17 @@ class TransformerEncoder(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
+        block_cls = EncoderBlock
+        if self.remat:
+            # arg 3 of EncoderBlock.__call__ (after self, x, y) is the
+            # python-bool `deterministic` -> static under checkpoint
+            block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
         for i in range(self.depth):
-            x, y = EncoderBlock(self.dim, self.heads, self.mlp_ratio,
-                                self.drop_rate, self.dtype, self.use_pallas,
-                                name=f"block_{i}")(x, y, deterministic)
+            x, y = block_cls(self.dim, self.heads, self.mlp_ratio,
+                             self.drop_rate, self.dtype, self.use_pallas,
+                             name=f"block_{i}")(x, y, deterministic)
         return x, y

@@ -41,6 +41,7 @@ class _Trunk(nn.Module):
     mlp_ratio: int
     dtype: Any = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -62,7 +63,7 @@ class _Trunk(nn.Module):
 
         node, edge = TransformerEncoder(
             self.dim, self.depth, self.heads, self.mlp_ratio, self.dropout,
-            self.dtype, self.use_pallas, name="encoder")(
+            self.dtype, self.use_pallas, self.remat, name="encoder")(
                 node, edge, deterministic)
         return node, edge
 
@@ -85,13 +86,14 @@ class Generator(nn.Module):
     mlp_ratio: int
     dtype: Any = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
         node, edge = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                             self.dim, self.depth, self.heads, self.mlp_ratio,
-                            self.dtype, self.use_pallas, name="trunk")(
-                                z_e, z_n, deterministic)
+                            self.dtype, self.use_pallas, self.remat,
+                            name="trunk")(z_e, z_n, deterministic)
         node_logits = _dense(self.nodes, self.dim, self.dtype,
                              name="readout_n")(node)
         edge_logits = _dense(self.edges, self.dim, self.dtype,
@@ -115,14 +117,15 @@ class Discriminator(nn.Module):
     mlp_ratio: int
     dtype: Any = None
     use_pallas: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
         act = get_activation(self.act)
         node, _ = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                          self.dim, self.depth, self.heads, self.mlp_ratio,
-                         self.dtype, self.use_pallas, name="trunk")(
-                             z_e, z_n, deterministic)
+                         self.dtype, self.use_pallas, self.remat,
+                         name="trunk")(z_e, z_n, deterministic)
         b = node.shape[0]
         flat = node.reshape(b, -1)            # [B, N*dim]
         h = _dense(64, self.vertexes * self.dim, self.dtype, name="mlp_fc1")(flat)

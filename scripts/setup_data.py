@@ -65,12 +65,16 @@ def main():
     print(f"vocab: {vocab.m_dim} atom types, {vocab.b_dim} bond types")
 
     print("building dense caches...")
-    d1 = load_dataset(chembl_path, vocab, args.max_atom, args.data_dir)
-    d2 = load_dataset(drug_path, vocab, args.max_atom, args.data_dir)
-    print(f"caches: {len(d1)} training molecules, {len(d2)} drug molecules")
+    problems = []
+    d1 = d2 = ()
+    try:
+        d1 = load_dataset(chembl_path, vocab, args.max_atom, args.data_dir)
+        d2 = load_dataset(drug_path, vocab, args.max_atom, args.data_dir)
+        print(f"caches: {len(d1)} training molecules, {len(d2)} drug molecules")
+    except ValueError as e:  # "no molecules survived filtering"
+        problems.append(f"cache build failed: {e}")
 
     # verification pass (reference setup.sh:140-160)
-    problems = []
     for path in (chembl_path, drug_path):
         if not os.path.exists(path):
             problems.append(f"missing {path}")
