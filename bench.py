@@ -23,7 +23,8 @@ import time
 
 
 def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
-          use_pallas: bool, compute_dtype: str, remat: bool = False):
+          use_pallas: bool, compute_dtype: str, remat: bool = False,
+          fused_mlp: bool = False):
     import numpy as np
 
     import jax
@@ -49,7 +50,8 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
                   mlp_ratio=3,
                   dtype=None if cdtype == jnp.float32 else cdtype)
     # Pallas on G only; D's GP double-backward needs the XLA path
-    g = Generator(use_pallas=use_pallas, remat=remat, **kwargs)
+    g = Generator(use_pallas=use_pallas, remat=remat, fused_mlp=fused_mlp,
+                  **kwargs)
     d = Discriminator(use_pallas=False, remat=remat, **kwargs)
     g_opt, d_opt = make_optimizers(cfg)
     mesh = make_mesh()
@@ -301,6 +303,9 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each encoder block (recompute "
                         "edge-stream intermediates in backward)")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="fused LN->MLP->LN Pallas edge-tail kernel on the "
+                        "Generator (train mode; first-order AD only)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
@@ -316,7 +321,8 @@ def main():
         if args.mode == "train":
             state, step, step_args = build(
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
-                args.use_pallas, args.compute_dtype, args.remat)
+                args.use_pallas, args.compute_dtype, args.remat,
+                args.fused_mlp)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
@@ -360,7 +366,8 @@ def main():
             "batch": args.batch,
             "config": f"N{args.vertexes}_dim{args.dim}_depth{args.depth}"
                       f"_heads{args.heads}_{args.compute_dtype}"
-                      f"{'_pallas' if args.use_pallas else ''},"
+                      f"{'_pallas' if args.use_pallas else ''}"
+                      f"{'_fusedmlp' if args.fused_mlp else ''},"
                       + workload,
         },
     }))

@@ -69,6 +69,8 @@ class TrainConfig:
     platform: str | None = None          # None => let jax pick; "cpu" forces
     compute_dtype: str = "float32"       # "float32" | "bfloat16"
     use_pallas: bool = False             # fused edge-attention kernel
+    fused_mlp: bool = False              # fused LN->MLP->LN edge-tail kernel
+    # (Generator only; first-order AD — see druggen_tpu/ops/fused_mlp.py)
     mesh_data: int = 0                   # 0 => all visible devices on 'data'
     adam_weight_decay: float = 0.01      # torch AdamW default (reference
     # train.py:213-214 uses torch.optim.AdamW default weight_decay)

@@ -42,6 +42,7 @@ class _Trunk(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     remat: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -63,7 +64,8 @@ class _Trunk(nn.Module):
 
         node, edge = TransformerEncoder(
             self.dim, self.depth, self.heads, self.mlp_ratio, self.dropout,
-            self.dtype, self.use_pallas, self.remat, name="encoder")(
+            self.dtype, self.use_pallas, self.remat, self.fused_mlp,
+            name="encoder")(
                 node, edge, deterministic)
         return node, edge
 
@@ -87,12 +89,14 @@ class Generator(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     remat: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
         node, edge = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                             self.dim, self.depth, self.heads, self.mlp_ratio,
                             self.dtype, self.use_pallas, self.remat,
+                            self.fused_mlp,
                             name="trunk")(z_e, z_n, deterministic)
         node_logits = _dense(self.nodes, self.dim, self.dtype,
                              name="readout_n")(node)
@@ -118,6 +122,7 @@ class Discriminator(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     remat: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -125,6 +130,7 @@ class Discriminator(nn.Module):
         node, _ = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                          self.dim, self.depth, self.heads, self.mlp_ratio,
                          self.dtype, self.use_pallas, self.remat,
+                         self.fused_mlp,
                          name="trunk")(z_e, z_n, deterministic)
         b = node.shape[0]
         flat = node.reshape(b, -1)            # [B, N*dim]

@@ -97,7 +97,9 @@ class Trainer:
         # D, and custom_vjp kernels do not support second-order AD (see
         # druggen_tpu/ops/fused_attention.py docstring)
         self.G = Generator(dropout=cfg.dropout, depth=cfg.depth,
-                           use_pallas=cfg.use_pallas, **common)
+                           use_pallas=cfg.use_pallas,
+                           fused_mlp=getattr(cfg, "fused_mlp", False),
+                           **common)
         self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth,
                                use_pallas=False, **common)
         self.g_opt, self.d_opt = make_optimizers(cfg)
