@@ -24,7 +24,7 @@ import time
 
 def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
           use_pallas: bool, compute_dtype: str, remat: bool = False,
-          fused_mlp: bool = False):
+          fused_mlp: bool = False, gp_mode: str = "revrev"):
     import numpy as np
 
     import jax
@@ -59,7 +59,7 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
         g, d, g_opt, d_opt, jax.random.PRNGKey(0), vertexes, m_dim, b_dim))
     step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
                            b_dim=b_dim, submodel="DrugGEN",
-                           compute_dtype=cdtype)
+                           compute_dtype=cdtype, gp_mode=gp_mode)
 
     rng = np.random.default_rng(0)
     x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
@@ -306,6 +306,10 @@ def main():
     p.add_argument("--fused-mlp", action="store_true",
                    help="fused LN->MLP->LN Pallas edge-tail kernel on the "
                         "Generator (train mode; first-order AD only)")
+    p.add_argument("--gp-mode", default="revrev",
+                   choices=["revrev", "fwdrev"],
+                   help="gradient-penalty AD structure (fwdrev = "
+                        "reverse-over-forward, same gradients)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
@@ -322,7 +326,7 @@ def main():
             state, step, step_args = build(
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
                 args.use_pallas, args.compute_dtype, args.remat,
-                args.fused_mlp)
+                args.fused_mlp, args.gp_mode)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
@@ -367,7 +371,8 @@ def main():
             "config": f"N{args.vertexes}_dim{args.dim}_depth{args.depth}"
                       f"_heads{args.heads}_{args.compute_dtype}"
                       f"{'_pallas' if args.use_pallas else ''}"
-                      f"{'_fusedmlp' if args.fused_mlp else ''},"
+                      f"{'_fusedmlp' if args.fused_mlp else ''}"
+                      f"{'_fwdrev' if args.gp_mode == 'fwdrev' else ''},"
                       + workload,
         },
     }))

@@ -71,6 +71,9 @@ class TrainConfig:
     use_pallas: bool = False             # fused edge-attention kernel
     fused_mlp: bool = False              # fused LN->MLP->LN edge-tail kernel
     # (Generator only; first-order AD — see druggen_tpu/ops/fused_mlp.py)
+    gp_mode: str = "revrev"              # gradient-penalty AD structure:
+    # "revrev" (reference-style double reverse) | "fwdrev" (reverse-over-
+    # forward, same gradients — see losses.gradient_penalty_fwdrev)
     mesh_data: int = 0                   # 0 => all visible devices on 'data'
     adam_weight_decay: float = 0.01      # torch AdamW default (reference
     # train.py:213-214 uses torch.optim.AdamW default weight_decay)

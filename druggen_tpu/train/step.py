@@ -65,7 +65,7 @@ def init_state(g_model, d_model, g_opt, d_opt, key, vertexes: int,
 def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
-                    node_mode: str = "labels"):
+                    node_mode: str = "labels", gp_mode: str = "revrev"):
     """Build the jitted step.
 
     step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
@@ -113,7 +113,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
             critic = partial(d_apply, d_params, k_ddrop)
             generator = partial(g_apply, state.g_params, k_gdrop)
             return discriminator_loss(generator, critic, disc_a, disc_x,
-                                      a, x, lambda_gp, k_gp)
+                                      a, x, lambda_gp, k_gp, gp_mode)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
@@ -145,7 +145,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
 def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
-                    node_mode: str = "labels"):
+                    node_mode: str = "labels", gp_mode: str = "revrev"):
     """K steps per dispatch via ``lax.scan`` — zero Python in the hot loop.
 
     multi_step(state, key, x [K,B,N], a [K,B,N,N], drug_x, drug_a)
@@ -158,7 +158,8 @@ def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     inner = make_train_step(g_model, d_model, g_opt, d_opt,
                             lambda_gp=lambda_gp, m_dim=m_dim, b_dim=b_dim,
                             submodel=submodel, compute_dtype=compute_dtype,
-                            donate=False, node_mode=node_mode)
+                            donate=False, node_mode=node_mode,
+                            gp_mode=gp_mode)
     # reuse the *unjitted* semantics by calling through the jitted fn inside
     # scan is fine: jit-of-jit inlines.
 

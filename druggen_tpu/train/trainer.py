@@ -113,7 +113,8 @@ class Trainer:
         step_kwargs = dict(lambda_gp=cfg.lambda_gp, m_dim=self.m_dim,
                            b_dim=self.b_dim, submodel=cfg.submodel,
                            compute_dtype=self.compute_dtype,
-                           node_mode="dense" if cfg.features else "labels")
+                           node_mode="dense" if cfg.features else "labels",
+                           gp_mode=getattr(cfg, "gp_mode", "revrev"))
         self.step_fn = make_train_step(self.G, self.D, self.g_opt,
                                        self.d_opt, **step_kwargs)
         self.multi_step_fn = None

@@ -197,3 +197,79 @@ def test_multi_step_matches_sequential(setup):
                       jax.tree_util.tree_leaves(s.g_params)):
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_gp_fwdrev_same_value_and_grads():
+    """gradient_penalty_fwdrev must give the same penalty value AND the
+    same critic-parameter gradients as the reference-style
+    reverse-over-reverse formulation (chain-rule identity; see
+    losses.gradient_penalty_fwdrev)."""
+    from druggen_tpu.train.losses import (
+        gradient_penalty,
+        gradient_penalty_fwdrev,
+    )
+
+    g, d = tiny_models()
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(3), N, M_DIM,
+                       B_DIM)
+    rng = np.random.default_rng(9)
+    real_n = jnp.asarray(rng.normal(size=(B, N, M_DIM)), jnp.float32)
+    real_e = jnp.asarray(rng.normal(size=(B, N, N, B_DIM)), jnp.float32)
+    fake_n = jnp.asarray(rng.normal(size=(B, N, M_DIM)), jnp.float32)
+    fake_e = jnp.asarray(rng.normal(size=(B, N, N, B_DIM)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    def gp_of(gp_fn, params):
+        critic = lambda e, n: d.apply(params, e, n)
+        return gp_fn(critic, real_n, real_e, fake_n, fake_e, key)
+
+    v0, g0 = jax.value_and_grad(
+        lambda p: gp_of(gradient_penalty, p))(state.d_params)
+    v1, g1 = jax.value_and_grad(
+        lambda p: gp_of(gradient_penalty_fwdrev, p))(state.d_params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    flat0, _ = jax.tree_util.tree_flatten_with_path(g0)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    for (k, a), (_, b) in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(k))
+
+
+def test_train_step_gp_modes_agree():
+    """One full train step under gp_mode='fwdrev' must produce the same
+    losses and parameter updates as 'revrev' (same PRNG path)."""
+    g, d = tiny_models()
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(5), N, M_DIM,
+                       B_DIM)
+    key = jax.random.PRNGKey(13)
+    rng = np.random.default_rng(21)
+    x = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, B_DIM, (B, N, N)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    dx = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    da = a.copy()
+
+    outs = {}
+    for mode in ("revrev", "fwdrev"):
+        step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                               m_dim=M_DIM, b_dim=B_DIM, submodel="DrugGEN",
+                               donate=False, gp_mode=mode)
+        st, metrics, _ = step(state, key, x, a, dx, da)
+        outs[mode] = (st, metrics)
+
+    m0, m1 = outs["revrev"][1], outs["fwdrev"][1]
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m0["d_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(m0["g_loss"]),
+                               rtol=1e-4)
+    p0 = jax.tree_util.tree_flatten_with_path(outs["revrev"][0].d_params)[0]
+    p1 = jax.tree_util.tree_flatten_with_path(outs["fwdrev"][0].d_params)[0]
+    for (k, a_), (_, b_) in zip(p0, p1):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=1e-6, rtol=1e-5,
+            err_msg=jax.tree_util.keystr(k))
