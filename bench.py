@@ -24,7 +24,8 @@ import time
 
 def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
           use_pallas: bool, compute_dtype: str, remat: bool = False,
-          fused_mlp: bool = False, gp_mode: str = "revrev"):
+          fused_mlp: bool = False, gp_mode: str = "revrev",
+          share_fake="auto"):
     import numpy as np
 
     import jax
@@ -59,7 +60,8 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
         g, d, g_opt, d_opt, jax.random.PRNGKey(0), vertexes, m_dim, b_dim))
     step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
                            b_dim=b_dim, submodel="DrugGEN",
-                           compute_dtype=cdtype, gp_mode=gp_mode)
+                           compute_dtype=cdtype, gp_mode=gp_mode,
+                           share_fake=share_fake)
 
     rng = np.random.default_rng(0)
     x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
@@ -310,6 +312,9 @@ def main():
                    choices=["revrev", "fwdrev"],
                    help="gradient-penalty AD structure (fwdrev = "
                         "reverse-over-forward, same gradients)")
+    p.add_argument("--no-share-fake", action="store_true",
+                   help="disable the single-G-forward vjp reuse (A/B knob; "
+                        "default 'auto' enables it at dropout 0)")
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
@@ -326,7 +331,8 @@ def main():
             state, step, step_args = build(
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
                 args.use_pallas, args.compute_dtype, args.remat,
-                args.fused_mlp, args.gp_mode)
+                args.fused_mlp, args.gp_mode,
+                False if args.no_share_fake else "auto")
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:

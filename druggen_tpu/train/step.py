@@ -65,7 +65,8 @@ def init_state(g_model, d_model, g_opt, d_opt, key, vertexes: int,
 def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
-                    node_mode: str = "labels", gp_mode: str = "revrev"):
+                    node_mode: str = "labels", gp_mode: str = "revrev",
+                    share_fake="auto"):
     """Build the jitted step.
 
     step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
@@ -78,7 +79,21 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     graphs themselves (reference train.py:340-345).
 
     ``node_mode='dense'`` (the --features flag path): x/drug_x arrive as
-    pre-built float blocks [B,N,m_dim+F] instead of int labels."""
+    pre-built float blocks [B,N,m_dim+F] instead of int labels.
+
+    ``share_fake``: the reference runs the generator forward twice per
+    iteration on the same inputs — once to make the D step's detached fake
+    (loss.py:60) and once inside the G step (loss.py:80) — and G's params
+    do not change in between, so the two forwards compute *identical*
+    values when dropout is 0.  With ``share_fake`` the step does ONE
+    ``jax.vjp`` G forward: its detached logits feed the D update and the
+    G-step cotangents are pulled back through the saved linearization,
+    removing a full G forward of HBM traffic.  Bit-identical losses and
+    updates (tests/test_train_step.py).  "auto" enables it exactly when
+    the generator's dropout rate is 0 (with dropout >0 the reference's
+    second forward draws fresh masks, so sharing would change semantics)."""
+    if share_fake == "auto":
+        share_fake = getattr(g_model, "dropout", 0.0) == 0.0
 
     def g_apply(params, rng, e, n):
         return g_model.apply(params, e, n, deterministic=False,
@@ -108,12 +123,20 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                                         dtype=compute_dtype)
             disc_a = jax.nn.one_hot(drug_a_labels, b_dim, dtype=compute_dtype)
 
+        if share_fake:
+            # single G forward; vjp keeps the linearization for the G step
+            (node_logits, edge_logits), g_vjp = jax.vjp(
+                lambda p: g_apply(p, k_gdrop, a, x)[2:4], state.g_params)
+            shared_outs = (None, None, node_logits, edge_logits)
+            generator_for_d = lambda _e, _n: shared_outs  # noqa: E731
+        else:
+            generator_for_d = partial(g_apply, state.g_params, k_gdrop)
+
         # ---- D update (reference train.py:352-368)
         def d_loss_fn(d_params):
             critic = partial(d_apply, d_params, k_ddrop)
-            generator = partial(g_apply, state.g_params, k_gdrop)
-            return discriminator_loss(generator, critic, disc_a, disc_x,
-                                      a, x, lambda_gp, k_gp, gp_mode)
+            return discriminator_loss(generator_for_d, critic, disc_a,
+                                      disc_x, a, x, lambda_gp, k_gp, gp_mode)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
@@ -121,18 +144,26 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- G update against the updated critic (reference train.py:370-384)
-        def g_loss_fn(g_params):
-            critic = partial(d_apply, d_params, k_ddrop2)
-            generator = partial(g_apply, g_params, k_gdrop2)
-            return generator_loss(generator, critic, a, x)
+        if share_fake:
+            def g_from_logits(n_logits, e_logits):
+                critic = partial(d_apply, d_params, k_ddrop2)
+                return -jnp.mean(critic(e_logits, n_logits))
 
-        (g_loss, outs), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+            g_loss, cts = jax.value_and_grad(g_from_logits, argnums=(0, 1))(
+                node_logits, edge_logits)
+            (g_grads,) = g_vjp(cts)
+        else:
+            def g_loss_fn(g_params):
+                critic = partial(d_apply, d_params, k_ddrop2)
+                generator = partial(g_apply, g_params, k_gdrop2)
+                return generator_loss(generator, critic, a, x)
+
+            (g_loss, outs), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+            _, _, node_logits, edge_logits = outs
         g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state,
                                               state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
-
-        _, _, node_logits, edge_logits = outs
         new_state = GANState(g_params, d_params, g_opt_state, d_opt_state,
                              state.step + 1)
         metrics = {"d_loss": d_loss, "g_loss": g_loss}
@@ -145,7 +176,8 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
 def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
-                    node_mode: str = "labels", gp_mode: str = "revrev"):
+                    node_mode: str = "labels", gp_mode: str = "revrev",
+                    share_fake="auto"):
     """K steps per dispatch via ``lax.scan`` — zero Python in the hot loop.
 
     multi_step(state, key, x [K,B,N], a [K,B,N,N], drug_x, drug_a)
@@ -159,7 +191,7 @@ def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                             lambda_gp=lambda_gp, m_dim=m_dim, b_dim=b_dim,
                             submodel=submodel, compute_dtype=compute_dtype,
                             donate=False, node_mode=node_mode,
-                            gp_mode=gp_mode)
+                            gp_mode=gp_mode, share_fake=share_fake)
     # reuse the *unjitted* semantics by calling through the jitted fn inside
     # scan is fine: jit-of-jit inlines.
 

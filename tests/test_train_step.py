@@ -273,3 +273,67 @@ def test_train_step_gp_modes_agree():
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), atol=1e-6, rtol=1e-5,
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_train_step_share_fake_agrees():
+    """share_fake=True (single vjp'd G forward reused by both the D and G
+    steps) must produce the same losses, logits, and parameter updates as
+    the reference-shaped two-forward path (dropout 0 ⇒ the reference's two
+    G forwards are value-identical; train.py:354,373)."""
+    g, d = tiny_models()
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(7), N, M_DIM,
+                       B_DIM)
+    key = jax.random.PRNGKey(17)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, B_DIM, (B, N, N)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    dx = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    da = a.copy()
+
+    outs = {}
+    for sf in (False, True):
+        step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                               m_dim=M_DIM, b_dim=B_DIM, submodel="DrugGEN",
+                               donate=False, share_fake=sf)
+        st, metrics, logits = step(state, key, x, a, dx, da)
+        st, metrics2, logits = step(st, key, x, a, dx, da)  # second step too
+        outs[sf] = (st, metrics, metrics2, logits)
+
+    _, m0, m0b, l0 = outs[False]
+    _, m1, m1b, l1 = outs[True]
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m0["d_loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(m0["g_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1b["d_loss"]), float(m0b["d_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1[0]), np.asarray(l0[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1[1]), np.asarray(l0[1]),
+                               atol=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(outs[False][0].g_params),
+                      jax.tree_util.tree_leaves(outs[True][0].g_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_share_fake_auto_disabled_with_dropout():
+    """With dropout > 0 the reference's second G forward draws fresh masks,
+    so 'auto' must fall back to the two-forward path (and still run)."""
+    g, d = tiny_models(dropout=0.1)
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(1), N, M_DIM,
+                       B_DIM)
+    step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=M_DIM,
+                           b_dim=B_DIM, submodel="DrugGEN", donate=False)
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, B_DIM, (B, N, N)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    st, metrics, _ = step(state, jax.random.PRNGKey(2), x, a, x, a)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
