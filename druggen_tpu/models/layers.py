@@ -209,6 +209,33 @@ class EncoderBlock(nn.Module):
         return x, y
 
 
+class _ScanBlock(nn.Module):
+    """Carry-signature adapter so :class:`EncoderBlock` can run under
+    ``flax.linen.scan`` (``__call__(carry, _) -> (carry, None)``)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: int
+    drop_rate: float
+    dtype: Any
+    use_pallas: bool
+    fused_mlp: bool
+    deterministic: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, y = carry
+        block_cls = EncoderBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
+        x, y = block_cls(self.dim, self.heads, self.mlp_ratio,
+                         self.drop_rate, self.dtype, self.use_pallas,
+                         self.fused_mlp, name="block")(x, y,
+                                                       self.deterministic)
+        return (x, y), None
+
+
 class TransformerEncoder(nn.Module):
     """Stack of encoder blocks (reference layers.py:195-234).
 
@@ -219,7 +246,18 @@ class TransformerEncoder(nn.Module):
     HBM-bandwidth-bound while its FLOPs are ~2% of the MXU roofline
     (PERF.md), so trading recompute for residual traffic is the right
     direction on TPU; remat composes with the gradient-penalty
-    double-backward (``jax.checkpoint`` supports higher-order AD)."""
+    double-backward (``jax.checkpoint`` supports higher-order AD).
+
+    ``scan_layers=True`` runs the stack as one ``lax.scan`` over stacked
+    per-block parameters instead of unrolling ``depth`` copies of the
+    block into the HLO.  XLA then compiles the block body ONCE, so
+    compile time and program size become depth-independent — the enabler
+    for deep configs (BASELINE config 4) whose unrolled programs blow the
+    compile budget.  Numerics are identical to the unrolled stack
+    (tests/test_scan_layers.py); only the parameter *layout* differs
+    (``blocks/block`` with a leading depth axis instead of ``block_i`` —
+    convert with :func:`stack_block_params` / :func:`unstack_block_params`).
+    Composes with ``remat`` (the canonical scan-of-remat-block pattern)."""
 
     dim: int
     depth: int
@@ -230,9 +268,21 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     fused_mlp: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth)
+            (x, y), _ = scanned(self.dim, self.heads, self.mlp_ratio,
+                                self.drop_rate, self.dtype, self.use_pallas,
+                                self.fused_mlp, deterministic, self.remat,
+                                name="blocks")((x, y), None)
+            return x, y
         block_cls = EncoderBlock
         if self.remat:
             # arg 3 of EncoderBlock.__call__ (after self, x, y) is the
@@ -244,3 +294,49 @@ class TransformerEncoder(nn.Module):
                              self.fused_mlp,
                              name=f"block_{i}")(x, y, deterministic)
         return x, y
+
+
+def stack_block_params(params):
+    """Convert an unrolled encoder param tree to the ``scan_layers`` layout.
+
+    Finds every subtree of the form ``{'block_0': …, …, 'block_{d-1}': …}``
+    (the unrolled :class:`TransformerEncoder` layout) anywhere in ``params``
+    and replaces it with ``{'blocks': {'block': stacked}}`` where each leaf
+    gains a leading depth axis.  Checkpoints saved by either layout can be
+    loaded into the other via these two functions."""
+    import numpy as np
+
+    def rec(tree):
+        if not isinstance(tree, dict):
+            return tree
+        keys = sorted(k for k in tree if k.startswith("block_")
+                      and k[6:].isdigit())
+        if keys and len(keys) == len(tree):
+            keys.sort(key=lambda k: int(k[6:]))
+            subs = [rec(tree[k]) for k in keys]
+            stacked = jax.tree_util.tree_map(
+                lambda *leaves: np.stack([np.asarray(l) for l in leaves]),
+                *subs)
+            return {"blocks": {"block": stacked}}
+        return {k: rec(v) for k, v in tree.items()}
+
+    return rec(params)
+
+
+def unstack_block_params(params):
+    """Inverse of :func:`stack_block_params` (scan layout -> unrolled)."""
+    import numpy as np
+
+    def rec(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if set(tree) == {"blocks"} and isinstance(tree["blocks"], dict) \
+                and set(tree["blocks"]) == {"block"}:
+            stacked = tree["blocks"]["block"]
+            depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            return {f"block_{i}": jax.tree_util.tree_map(
+                lambda l, i=i: np.asarray(l)[i], stacked)
+                for i in range(depth)}
+        return {k: rec(v) for k, v in tree.items()}
+
+    return rec(params)

@@ -43,6 +43,7 @@ class _Trunk(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     fused_mlp: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -65,6 +66,7 @@ class _Trunk(nn.Module):
         node, edge = TransformerEncoder(
             self.dim, self.depth, self.heads, self.mlp_ratio, self.dropout,
             self.dtype, self.use_pallas, self.remat, self.fused_mlp,
+            self.scan_layers,
             name="encoder")(
                 node, edge, deterministic)
         return node, edge
@@ -90,13 +92,14 @@ class Generator(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     fused_mlp: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
         node, edge = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                             self.dim, self.depth, self.heads, self.mlp_ratio,
                             self.dtype, self.use_pallas, self.remat,
-                            self.fused_mlp,
+                            self.fused_mlp, self.scan_layers,
                             name="trunk")(z_e, z_n, deterministic)
         node_logits = _dense(self.nodes, self.dim, self.dtype,
                              name="readout_n")(node)
@@ -123,6 +126,7 @@ class Discriminator(nn.Module):
     use_pallas: bool = False
     remat: bool = False
     fused_mlp: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -130,7 +134,7 @@ class Discriminator(nn.Module):
         node, _ = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                          self.dim, self.depth, self.heads, self.mlp_ratio,
                          self.dtype, self.use_pallas, self.remat,
-                         self.fused_mlp,
+                         self.fused_mlp, self.scan_layers,
                          name="trunk")(z_e, z_n, deterministic)
         b = node.shape[0]
         flat = node.reshape(b, -1)            # [B, N*dim]

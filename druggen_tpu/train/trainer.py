@@ -96,12 +96,14 @@ class Trainer:
         # Pallas goes to G only: the gradient penalty double-differentiates
         # D, and custom_vjp kernels do not support second-order AD (see
         # druggen_tpu/ops/fused_attention.py docstring)
+        scan_layers = getattr(cfg, "scan_layers", False)
         self.G = Generator(dropout=cfg.dropout, depth=cfg.depth,
                            use_pallas=cfg.use_pallas,
                            fused_mlp=getattr(cfg, "fused_mlp", False),
-                           **common)
+                           scan_layers=scan_layers, **common)
         self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth,
-                               use_pallas=False, **common)
+                               use_pallas=False, scan_layers=scan_layers,
+                               **common)
         self.g_opt, self.d_opt = make_optimizers(cfg)
 
         self.mesh = make_mesh(cfg.mesh_data)
