@@ -25,7 +25,8 @@ import time
 def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
           use_pallas: bool, compute_dtype: str, remat: bool = False,
           fused_mlp: bool = False, gp_mode: str = "revrev",
-          share_fake="auto", scan_layers: bool = False):
+          share_fake="auto", scan_layers: bool = False,
+          fused_critic: bool = False):
     import numpy as np
 
     import jax
@@ -62,7 +63,7 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
     step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
                            b_dim=b_dim, submodel="DrugGEN",
                            compute_dtype=cdtype, gp_mode=gp_mode,
-                           share_fake=share_fake)
+                           share_fake=share_fake, fused_critic=fused_critic)
 
     rng = np.random.default_rng(0)
     x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
@@ -315,6 +316,9 @@ def main():
                    choices=["revrev", "fwdrev"],
                    help="gradient-penalty AD structure (fwdrev = "
                         "reverse-over-forward, same gradients)")
+    p.add_argument("--fused-critic", action="store_true",
+                   help="fused edge-tail kernel on the critic's first-order "
+                        "passes (GP stays XLA; pays off at depth>1)")
     p.add_argument("--scan-layers", action="store_true",
                    help="lax.scan over stacked encoder blocks (depth-"
                         "independent compile time; deep configs)")
@@ -338,7 +342,8 @@ def main():
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
                 args.use_pallas, args.compute_dtype, args.remat,
                 args.fused_mlp, args.gp_mode,
-                False if args.no_share_fake else "auto", args.scan_layers)
+                False if args.no_share_fake else "auto", args.scan_layers,
+                args.fused_critic)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:

@@ -71,6 +71,8 @@ class TrainConfig:
     use_pallas: bool = False             # fused edge-attention kernel
     fused_mlp: bool = False              # fused LN->MLP->LN edge-tail kernel
     # (Generator only; first-order AD — see druggen_tpu/ops/fused_mlp.py)
+    fused_critic: bool = False           # fused edge-tail kernel on the
+    # critic's first-order passes too (GP pass stays XLA; depth>1 payoff)
     scan_layers: bool = False            # lax.scan over stacked encoder
     # blocks: depth-independent compile time/program size (deep configs)
     gp_mode: str = "revrev"              # gradient-penalty AD structure:

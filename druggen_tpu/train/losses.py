@@ -115,13 +115,21 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
                        drug_edge: jnp.ndarray, drug_node: jnp.ndarray,
                        mol_edge: jnp.ndarray, mol_node: jnp.ndarray,
                        lambda_gp: float, key: jax.Array,
-                       gp_mode: str = "revrev") -> jnp.ndarray:
+                       gp_mode: str = "revrev",
+                       critic_gp: CriticFn | None = None) -> jnp.ndarray:
     """Reference ``discriminator_loss`` (loss.py:52-72): critic sees the real
     (drug) graphs and the generator's *logit* outputs (continuous
     relaxation, not argmax-discretized), with G frozen.
 
     ``gp_mode``: "revrev" (reference-style double reverse) or "fwdrev"
-    (:func:`gradient_penalty_fwdrev`, same gradients)."""
+    (:func:`gradient_penalty_fwdrev`, same gradients).
+
+    ``critic_gp``: critic used for the gradient-penalty pass (defaults to
+    ``critic``).  The real/fake passes are differentiated exactly once, so
+    ``critic`` may use first-order-only fused kernels; the GP pass is
+    double-differentiated and ``critic_gp`` must be fully twice-
+    differentiable (XLA path).  Same parameters, same math — only the
+    execution schedule differs."""
     logits_real = critic(drug_edge, drug_node)
     _, _, node_logits, edge_logits = generator(mol_edge, mol_node)
     fake_node = jax.lax.stop_gradient(node_logits)
@@ -129,7 +137,8 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
     logits_fake = critic(fake_edge, fake_node)
     gp_fn = (gradient_penalty_fwdrev if gp_mode == "fwdrev"
              else gradient_penalty)
-    gp = gp_fn(critic, drug_node, drug_edge, fake_node, fake_edge, key)
+    gp = gp_fn(critic_gp or critic, drug_node, drug_edge, fake_node,
+               fake_edge, key)
     return jnp.mean(logits_fake) - jnp.mean(logits_real) + lambda_gp * gp
 
 

@@ -66,7 +66,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
                     node_mode: str = "labels", gp_mode: str = "revrev",
-                    share_fake="auto"):
+                    share_fake="auto", fused_critic: bool = False):
     """Build the jitted step.
 
     step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
@@ -91,7 +91,15 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     removing a full G forward of HBM traffic.  Bit-identical losses and
     updates (tests/test_train_step.py).  "auto" enables it exactly when
     the generator's dropout rate is 0 (with dropout >0 the reference's
-    second forward draws fresh masks, so sharing would change semantics)."""
+    second forward draws fresh masks, so sharing would change semantics).
+
+    ``fused_critic``: run the critic's *first-order* passes (D-step real
+    and fake, G-step fake) through the fused-MLP Pallas edge-tail kernel
+    (``ops/fused_mlp.py``, first-order ``custom_vjp``).  Only the
+    gradient-penalty pass is double-differentiated, so it alone stays on
+    the fully twice-differentiable XLA path (``critic_gp``).  Identical
+    parameters and math; pays off at critic depth > 1 where the edge
+    stream is live between blocks."""
     if share_fake == "auto":
         share_fake = getattr(g_model, "dropout", 0.0) == 0.0
 
@@ -102,6 +110,15 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     def d_apply(params, rng, e, n):
         return d_model.apply(params, e, n, deterministic=False,
                              rngs={"dropout": rng})
+
+    if fused_critic:
+        d_model_first = d_model.clone(fused_mlp=True)
+
+        def d_apply_first(params, rng, e, n):
+            return d_model_first.apply(params, e, n, deterministic=False,
+                                       rngs={"dropout": rng})
+    else:
+        d_apply_first = d_apply
 
     def step_fn(state: GANState, key, x_labels, a_labels,
                 drug_x_labels, drug_a_labels):
@@ -134,9 +151,11 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
 
         # ---- D update (reference train.py:352-368)
         def d_loss_fn(d_params):
-            critic = partial(d_apply, d_params, k_ddrop)
+            critic = partial(d_apply_first, d_params, k_ddrop)
+            critic_gp = partial(d_apply, d_params, k_ddrop)
             return discriminator_loss(generator_for_d, critic, disc_a,
-                                      disc_x, a, x, lambda_gp, k_gp, gp_mode)
+                                      disc_x, a, x, lambda_gp, k_gp, gp_mode,
+                                      critic_gp)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
@@ -146,7 +165,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         # ---- G update against the updated critic (reference train.py:370-384)
         if share_fake:
             def g_from_logits(n_logits, e_logits):
-                critic = partial(d_apply, d_params, k_ddrop2)
+                critic = partial(d_apply_first, d_params, k_ddrop2)
                 return -jnp.mean(critic(e_logits, n_logits))
 
             g_loss, cts = jax.value_and_grad(g_from_logits, argnums=(0, 1))(
@@ -154,7 +173,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
             (g_grads,) = g_vjp(cts)
         else:
             def g_loss_fn(g_params):
-                critic = partial(d_apply, d_params, k_ddrop2)
+                critic = partial(d_apply_first, d_params, k_ddrop2)
                 generator = partial(g_apply, g_params, k_gdrop2)
                 return generator_loss(generator, critic, a, x)
 
@@ -177,7 +196,7 @@ def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
                     node_mode: str = "labels", gp_mode: str = "revrev",
-                    share_fake="auto"):
+                    share_fake="auto", fused_critic: bool = False):
     """K steps per dispatch via ``lax.scan`` — zero Python in the hot loop.
 
     multi_step(state, key, x [K,B,N], a [K,B,N,N], drug_x, drug_a)
@@ -191,7 +210,8 @@ def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                             lambda_gp=lambda_gp, m_dim=m_dim, b_dim=b_dim,
                             submodel=submodel, compute_dtype=compute_dtype,
                             donate=False, node_mode=node_mode,
-                            gp_mode=gp_mode, share_fake=share_fake)
+                            gp_mode=gp_mode, share_fake=share_fake,
+                            fused_critic=fused_critic)
     # reuse the *unjitted* semantics by calling through the jitted fn inside
     # scan is fine: jit-of-jit inlines.
 

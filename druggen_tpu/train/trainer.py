@@ -116,7 +116,8 @@ class Trainer:
                            b_dim=self.b_dim, submodel=cfg.submodel,
                            compute_dtype=self.compute_dtype,
                            node_mode="dense" if cfg.features else "labels",
-                           gp_mode=getattr(cfg, "gp_mode", "revrev"))
+                           gp_mode=getattr(cfg, "gp_mode", "revrev"),
+                           fused_critic=getattr(cfg, "fused_critic", False))
         self.step_fn = make_train_step(self.G, self.D, self.g_opt,
                                        self.d_opt, **step_kwargs)
         self.multi_step_fn = None

@@ -337,3 +337,41 @@ def test_share_fake_auto_disabled_with_dropout():
     st, metrics, _ = step(state, jax.random.PRNGKey(2), x, a, x, a)
     assert np.isfinite(float(metrics["d_loss"]))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_train_step_fused_critic_agrees():
+    """fused_critic routes the critic's first-order passes through the
+    fused-MLP kernel while the GP pass stays XLA; identical parameters =>
+    losses and updates must match the all-XLA step (depth 2 so the critic
+    edge tail is live)."""
+    kw = dict(act="relu", vertexes=N, edges=B_DIM, nodes=M_DIM, dropout=0.0,
+              dim=DIM, depth=2, heads=HEADS, mlp_ratio=2)
+    g, d = Generator(**kw), Discriminator(**kw)
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(11), N, M_DIM,
+                       B_DIM)
+    key = jax.random.PRNGKey(13)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, B_DIM, (B, N, N)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+
+    outs = {}
+    for fc in (False, True):
+        step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                               m_dim=M_DIM, b_dim=B_DIM, submodel="DrugGEN",
+                               donate=False, fused_critic=fc)
+        st, metrics, _ = step(state, key, x, a, x, a)
+        outs[fc] = (st, metrics)
+
+    np.testing.assert_allclose(float(outs[True][1]["d_loss"]),
+                               float(outs[False][1]["d_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(outs[True][1]["g_loss"]),
+                               float(outs[False][1]["g_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree_util.tree_leaves(outs[False][0].d_params),
+                      jax.tree_util.tree_leaves(outs[True][0].d_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-5, rtol=1e-4)
