@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import re
 
 import numpy as np
 
@@ -173,14 +174,18 @@ def main(argv=None):
     parser.add_argument("--ref1", required=True)
     parser.add_argument("--ref2")
     parser.add_argument("--smiles-col", default="SMILES")
-    parser.add_argument("--output", default="results")
+    parser.add_argument("--output", default="results",
+                        help="output prefix; a trailing .json/.csv is "
+                             "stripped")
     parser.add_argument("--n-jobs", type=int, default=8)
     args = parser.parse_args(argv)
     evaluate_molecules_from_files(args.gen, args.ref1, args.ref2,
                                   smiles_col=args.smiles_col,
-                                  output_prefix=args.output,
+                                  output_prefix=re.sub(
+                                      r"\.(json|csv)$", "", args.output),
                                   n_jobs=args.n_jobs)
-    print(f"Evaluation complete. Results in {args.output}.json/.csv")
+    prefix = re.sub(r"\.(json|csv)$", "", args.output)
+    print(f"Evaluation complete. Results in {prefix}.json/.csv")
 
 
 if __name__ == "__main__":
