@@ -217,7 +217,8 @@ def torch_baseline_seconds(batch: int, vertexes: int, dim: int, depth: int,
 
 
 def build_infer(batch: int, vertexes: int, dim: int, depth: int, heads: int,
-                use_pallas: bool, compute_dtype: str):
+                use_pallas: bool, compute_dtype: str,
+                fused_mlp: bool = False):
     """Pure generator forward (the inference hot loop, engine.py:72-110):
     one-hot encode int8 labels on device, G forward, argmax decode."""
     import numpy as np
@@ -233,6 +234,7 @@ def build_infer(batch: int, vertexes: int, dim: int, depth: int, heads: int,
     cdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     g = Generator(act="relu", vertexes=vertexes, edges=b_dim, nodes=m_dim,
                   dropout=0.0, dim=dim, depth=depth, heads=heads, mlp_ratio=3,
+                  fused_mlp=fused_mlp,
                   dtype=None if cdtype == jnp.float32 else cdtype)
     params = g.init(jax.random.PRNGKey(0),
                     jnp.zeros((1, vertexes, vertexes, b_dim)),
@@ -349,7 +351,7 @@ def main():
         else:
             params, fwd, fwd_args = build_infer(
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
-                args.use_pallas, args.compute_dtype)
+                args.use_pallas, args.compute_dtype, args.fused_mlp)
             sec = bench_infer(params, fwd, fwd_args,
                               k_large=max(args.iters, 10))
     except Exception as e:  # the remote-TPU relay occasionally 500s on
