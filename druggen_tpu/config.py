@@ -126,6 +126,8 @@ class InferenceConfig:
     platform: str | None = None
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    fused_mlp: bool = False              # fused edge-tail kernel in the
+    # generator forward (inference is first-order-free: always safe)
     output_dir: str = "experiments/inference"
 
 

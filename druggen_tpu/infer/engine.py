@@ -57,7 +57,8 @@ class InferenceEngine:
                            heads=cfg.heads, mlp_ratio=cfg.mlp_ratio,
                            dtype=None if self.compute_dtype == jnp.float32
                            else self.compute_dtype,
-                           use_pallas=cfg.use_pallas)
+                           use_pallas=cfg.use_pallas,
+                           fused_mlp=getattr(cfg, "fused_mlp", False))
         if g_params is not None:
             self.g_params = g_params
         else:

@@ -12,6 +12,8 @@ from druggen_tpu.models.layers import (
     EncoderBlock,
     TransformerEncoder,
     get_activation,
+    stack_block_params,
+    unstack_block_params,
 )
 from druggen_tpu.models.models import Generator, Discriminator, SimpleDisc
 
@@ -24,4 +26,6 @@ __all__ = [
     "Discriminator",
     "SimpleDisc",
     "get_activation",
+    "stack_block_params",
+    "unstack_block_params",
 ]
