@@ -109,3 +109,23 @@ def test_scan_layers_dropout_distinct_masks():
                         rngs={"dropout": jax.random.PRNGKey(4)})
     for t in out:
         assert np.isfinite(np.asarray(t)).all()
+
+
+def test_generator_checkpoint_layout_conversion():
+    """A full Generator checkpoint saved by the unrolled model must drive
+    the scan_layers model to identical outputs after stack_block_params
+    (checkpoint compatibility across layouts)."""
+    m_dim, b_dim = 5, 4
+    kw = dict(act="relu", vertexes=N, edges=b_dim, nodes=m_dim, dropout=0.0,
+              dim=DIM, depth=DEPTH, heads=HEADS, mlp_ratio=2)
+    g_unrolled = Generator(**kw, scan_layers=False)
+    g_scan = Generator(**kw, scan_layers=True)
+    z_e = jax.random.normal(jax.random.PRNGKey(0), (B, N, N, b_dim))
+    z_n = jax.random.normal(jax.random.PRNGKey(1), (B, N, m_dim))
+    p = g_unrolled.init(jax.random.PRNGKey(2), z_e, z_n)
+    p_scan = jax.tree_util.tree_map(jnp.asarray, stack_block_params(p))
+    out_u = g_unrolled.apply(p, z_e, z_n)
+    out_s = g_scan.apply(p_scan, z_e, z_n)
+    for a, b in zip(out_u, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
