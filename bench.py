@@ -318,9 +318,11 @@ def main():
                    choices=["revrev", "fwdrev"],
                    help="gradient-penalty AD structure (fwdrev = "
                         "reverse-over-forward, same gradients)")
-    p.add_argument("--fused-critic", action="store_true",
+    p.add_argument("--fused-critic", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="fused edge-tail kernel on the critic's first-order "
-                        "passes (GP stays XLA; pays off at depth>1)")
+                        "passes (GP stays XLA). Default ON: +7.6%% at "
+                        "depth 2, neutral at depth 1 (PERF.md)")
     p.add_argument("--scan-layers", action="store_true",
                    help="lax.scan over stacked encoder blocks (depth-"
                         "independent compile time; deep configs)")
