@@ -191,6 +191,8 @@ class Trainer:
         else:
             drug_iter = iter(BatchIterator(self.drug_data, cfg.batch_size,
                                            seed=cfg.seed, loop=True))
+        # flush every loop-progress print: training often runs with stdout
+        # redirected to a log file, where block buffering hides progress
         print(f"Start training... ({len(self.data)} mols, "
               f"{len(self.drug_data)} drugs, mesh={self.mesh.shape})")
         K = max(cfg.steps_per_dispatch, 1)
@@ -256,11 +258,12 @@ class Trainer:
                         self.sample_dir, epoch, it, node_logits, edge_logits,
                         self.vocab)
                     print(f"samples saved at epoch {epoch} iteration {it} "
-                          f"({n_valid} valid)")
+                          f"({n_valid} valid)", flush=True)
                     ckpt.save_gd_params(self.model_dir, self.state,
                                         epoch + 1, it + 1)
                     ckpt.save_state(self.model_dir, self.state)
-                    print(f"model saved at epoch {epoch} iteration {it}")
+                    print(f"model saved at epoch {epoch} iteration {it}",
+                          flush=True)
         # final checkpoint + submodel export for inference
         ckpt.save_state(self.model_dir, self.state)
         ckpt.save_params(os.path.join(self.model_dir,

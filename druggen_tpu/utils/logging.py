@@ -55,7 +55,9 @@ class RunLogger:
             line = ", ".join(parts)
             with open(self.text_path, "a") as f:
                 f.write(line + "\n")
-            print(line)
+            # flush: stdout is often a redirected log file whose block
+            # buffering would otherwise hide progress for minutes
+            print(line, flush=True)
 
     def finish(self) -> None:
         if self._wandb is not None:
