@@ -139,3 +139,31 @@ def test_generated_corpus_valid():
 def test_chembl_vocab_constants():
     assert CHEMBL_VOCAB.m_dim == 13
     assert CHEMBL_VOCAB.b_dim == 5
+
+
+def test_dense_garbage_decode_fast_and_consistent():
+    """Early-GAN generators emit near-complete graphs (~1000 bonds on 45
+    atoms).  The strict decode must reject them (over-valence) without the
+    O(E^2) construction / full ring analysis cost — a 128-graph batch
+    decodes in well under a second (chem/mol.py pre-screen), and the
+    lenient path still writes a SMILES string."""
+    import time
+
+    from druggen_tpu.chem.vocab import CHEMBL_VOCAB as V
+    from druggen_tpu.chem.canon import mol_to_smiles
+
+    rng = np.random.default_rng(0)
+    n = 45
+    t0 = time.time()
+    for _ in range(128):
+        nl = rng.integers(1, V.m_dim, n)
+        el0 = np.triu(rng.integers(0, V.b_dim, (n, n)), 1)
+        mol = matrices_to_mol(nl, el0 + el0.T, V, strict=True)
+        assert mol is None          # over-valent garbage must be invalid
+    assert time.time() - t0 < 5.0   # was ~25 s before the fast path
+    # lenient decode still produces a writable graph
+    nl = rng.integers(1, V.m_dim, n)
+    el0 = np.triu(rng.integers(0, V.b_dim, (n, n)), 1)
+    mol = matrices_to_mol(nl, el0 + el0.T, V, strict=False)
+    assert mol is not None
+    assert isinstance(mol_to_smiles(mol), str)
