@@ -351,6 +351,14 @@ def main():
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
+            if args.fused_mlp and args.compute_dtype == "float32":
+                # measured 3.6k vs 10.5k mol/s: the kernel's row tiles are
+                # sized for bf16 (PERF.md); don't let the default hurt f32
+                import sys
+                print("note: disabling fused_mlp for float32 inference "
+                      "(kernel tiles are bf16-sized; see PERF.md)",
+                      file=sys.stderr)
+                args.fused_mlp = False
             params, fwd, fwd_args = build_infer(
                 args.batch, args.vertexes, args.dim, args.depth, args.heads,
                 args.use_pallas, args.compute_dtype, args.fused_mlp)
