@@ -139,3 +139,26 @@ def test_evaluate_cli(tmp_path):
         blob = json.load(f)
     assert blob["n_generated"] == 25
     assert os.path.exists(str(out) + ".csv")
+
+
+def test_evaluate_cli_strips_output_suffix(tmp_path, monkeypatch):
+    """Passing --output results.json must not produce results.json.json —
+    the CLI strips a trailing .json/.csv before using the prefix."""
+    import importlib
+    import sys
+
+    ev = importlib.import_module("evaluate")
+    gen = tmp_path / "gen.smi"
+    with open(gen, "w") as f:
+        f.write("\n".join(DRUGLIKE_SMILES[:10]) + "\n")
+    ref1 = tmp_path / "ref1.smi"
+    with open(ref1, "w") as f:
+        f.write("\n".join(DRUGLIKE_SMILES[10:30]) + "\n")
+    out = tmp_path / "res.json"
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--gen", str(gen), "--ref1", str(ref1),
+        "--output", str(out), "--n-jobs", "1"])
+    ev.main()
+    assert os.path.exists(tmp_path / "res.json")
+    assert os.path.exists(tmp_path / "res.csv")
+    assert not os.path.exists(tmp_path / "res.json.json")
