@@ -205,7 +205,11 @@ class EncoderBlock(nn.Module):
             p4["scale"], p4["bias"],
             pm["fc1"]["kernel"], pm["fc1"]["bias"],
             pm["fc2"]["kernel"], pm["fc2"]["bias"],
-            p6["scale"], p6["bias"])
+            p6["scale"], p6["bias"],
+            # fused_mlp="jvp" selects the higher-order-differentiable
+            # variant (Pallas forward, jnp-math derivatives) — usable
+            # inside the WGAN-GP double-backward
+            grad_mode="jvp" if self.fused_mlp == "jvp" else "vjp")
         return x, y
 
 

@@ -255,18 +255,56 @@ def _fused_bwd(interpret, res, dout):
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _reference_rows(s, g1, bl1, w1, b1, w2, b2, g2, bl2):
+    """Plain-jnp statement of the fused op's math (LN2(LN1(s) +
+    fc2(relu(fc1(LN1(s)))))) — differentiable to any order."""
+    ln1, _, _ = _ln_fwd(s, g1, bl1)
+    h = jnp.maximum(jnp.dot(ln1, w1) + b1, 0.0)
+    out = jnp.dot(h, w2) + b2
+    y, _, _ = _ln_fwd(ln1 + out, g2, bl2)
+    return y
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(9,))
+def _fused_op_ho(s, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret):
+    return _fwd_pallas(s, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret)
+
+
+@_fused_op_ho.defjvp
+def _fused_op_ho_jvp(interpret, primals, tangents):
+    # primal via the Pallas kernel; tangents (and therefore every
+    # reverse-mode transpose and higher derivative JAX builds from them)
+    # via the jnp reference math.  This trades the fused backward for
+    # unlimited differentiation order: the one variant the WGAN-GP
+    # double-backward can consume.
+    primal_out = _fused_op_ho(*primals, interpret)
+    _, tangent_out = jax.jvp(_reference_rows, primals, tangents)
+    # the reference math may promote (e.g. bf16 inputs with f32
+    # accumulation); the tangent must carry the primal's dtype
+    return primal_out, tangent_out.astype(primal_out.dtype)
+
+
 def fused_ln_mlp_ln(s, g1, bl1, w1, b1, w2, b2, g2, bl2, *,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    grad_mode: str = "vjp"):
     """``LN2(LN1(s) + fc2(relu(fc1(LN1(s)))))`` over the last axis of ``s``.
 
     ``s``: [..., C]; weights: w1 [C, H], w2 [H, C]; LN params [C].
     One HBM read of ``s`` + one write of the output per direction
-    (backward recomputes in VMEM).  First-order differentiable only.
+    (backward recomputes in VMEM).
+
+    ``grad_mode='vjp'`` (default): fused Pallas backward too —
+    first-order differentiable only.  ``grad_mode='jvp'``: Pallas
+    forward with jnp-math derivatives (``jax.custom_jvp``) —
+    differentiable to ANY order, so it can sit inside the gradient
+    penalty's double-backward; the backward passes themselves run on
+    XLA.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     shape = s.shape
     c = shape[-1]
     s2 = s.reshape(-1, c)
-    out = _fused_op(s2, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret)
+    op = _fused_op_ho if grad_mode == "jvp" else _fused_op
+    out = op(s2, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret)
     return out.reshape(shape)

@@ -117,8 +117,17 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         def d_apply_first(params, rng, e, n):
             return d_model_first.apply(params, e, n, deterministic=False,
                                        rngs={"dropout": rng})
+
+        # GP pass stays on the plain XLA critic.  A higher-order-capable
+        # fused variant exists (fused_mlp="jvp": Pallas forward, jnp-math
+        # derivatives — ops/fused_mlp.py) and is numerically exact in the
+        # double-backward, but measured 6% SLOWER here: the custom_jvp
+        # boundary blocks XLA from fusing the GP forward into its two
+        # backward passes (PERF.md).
+        d_apply_gp = d_apply
     else:
         d_apply_first = d_apply
+        d_apply_gp = d_apply
 
     def step_fn(state: GANState, key, x_labels, a_labels,
                 drug_x_labels, drug_a_labels):
@@ -152,7 +161,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         # ---- D update (reference train.py:352-368)
         def d_loss_fn(d_params):
             critic = partial(d_apply_first, d_params, k_ddrop)
-            critic_gp = partial(d_apply, d_params, k_ddrop)
+            critic_gp = partial(d_apply_gp, d_params, k_ddrop)
             return discriminator_loss(generator_for_d, critic, disc_a,
                                       disc_x, a, x, lambda_gp, k_gp, gp_mode,
                                       critic_gp)

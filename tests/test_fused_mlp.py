@@ -143,3 +143,45 @@ def test_encoder_block_fused_dropout_falls_back():
     xo, yo = blk.apply(params, x, y, deterministic=False,
                        rngs={"dropout": jax.random.PRNGKey(1)})
     assert xo.shape == x.shape and yo.shape == y.shape
+
+
+def test_jvp_mode_second_order():
+    """grad_mode='jvp' (Pallas forward, jnp-math derivatives) must support
+    grad-of-grad — the WGAN-GP double-backward pattern — and agree with
+    the pure-jnp reference to second order."""
+    rng = np.random.default_rng(3)
+    c, hid, rows = 16, 32, 8
+    params = _rand_params(rng, c, hid)
+    s = jnp.asarray(rng.normal(size=(rows, c)).astype(np.float32))
+
+    def gp_like(fn):
+        # ||d/ds sum(fn(s))||^2 — then grad w.r.t. a weight (2nd order)
+        def inner(w1):
+            p = list(params)
+            p[2] = w1
+            g = jax.grad(lambda x: jnp.sum(fn(x, *p)))(s)
+            return jnp.sum(g * g)
+        return jax.value_and_grad(inner)(params[2])
+
+    v_ref, g_ref = gp_like(lambda x, *p: _ref(x, *p))
+    v_fused, g_fused = gp_like(
+        lambda x, *p: fused_ln_mlp_ln(x, *p, grad_mode="jvp"))
+    np.testing.assert_allclose(float(v_fused), float(v_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_jvp_mode_first_order_matches_vjp_mode():
+    rng = np.random.default_rng(4)
+    c, hid, rows = 16, 32, 8
+    params = _rand_params(rng, c, hid)
+    s = jnp.asarray(rng.normal(size=(rows, c)).astype(np.float32))
+    for mode in ("vjp", "jvp"):
+        g = jax.grad(lambda x: jnp.sum(
+            fused_ln_mlp_ln(x, *params, grad_mode=mode) ** 2))(s)
+        if mode == "vjp":
+            base = np.asarray(g)
+        else:
+            np.testing.assert_allclose(np.asarray(g), base,
+                                       rtol=1e-4, atol=1e-5)
