@@ -79,6 +79,11 @@ class TrainConfig:
     # "revrev" (reference-style double reverse) | "fwdrev" (reverse-over-
     # forward, same gradients — see losses.gradient_penalty_fwdrev)
     mesh_data: int = 0                   # 0 => all visible devices on 'data'
+    mesh_node: int = 1                   # >1: edge-partitioned giant-batch
+    # training — shard the [B,N,N,dim] edge streams' first vertex axis over
+    # a 'node' mesh axis of this size (full WGAN-GP step under shard_map;
+    # see druggen_tpu/parallel/edge_partition.py).  The dataset is padded so
+    # vertexes % mesh_node == 0.  Requires dropout=0 and no --features.
     adam_weight_decay: float = 0.01      # torch AdamW default (reference
     # train.py:213-214 uses torch.optim.AdamW default weight_decay)
     steps_per_dispatch: int = 1          # >1: lax.scan K train steps per

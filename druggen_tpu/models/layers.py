@@ -86,26 +86,78 @@ class MLP(nn.Module):
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
 
+try:  # public from jax 0.10; private location in 0.9
+    from jax.lax import all_gather_invariant as _all_gather_invariant
+except ImportError:  # pragma: no cover
+    from jax._src.lax.parallel import (
+        all_gather_invariant as _all_gather_invariant,
+    )
+
+
+def gather_node_rows(x, axis_name: str, axis: int = 1):
+    """all_gather node rows sharded over ``axis_name`` into the full array.
+
+    Uses the *invariant* gather: its output is replication-tagged over the
+    axis (each device provably holds identical values) and its AD transpose
+    is a slice of the replicated cotangent — the correct semantics for
+    "gather then compute a replicated result", and the reason the whole
+    sharded WGAN-GP step differentiates exactly through the shard_map
+    boundary (plain ``all_gather``'s psum-scatter transpose would k-fold
+    the cotangents of the replicated critic head)."""
+    return _all_gather_invariant(x, axis_name, axis=axis, tiled=True)
+
+
+def distributed_edge_transpose(e, axis_name: str):
+    """Transpose axes (1, 2) of a globally-[B, N, N, D] edge tensor whose
+    first N axis is sharded over ``axis_name`` (shard_map context).
+
+    One tiled ``all_to_all`` — the distributed-transpose collective — turns
+    the local ``[B, n_loc, N, D]`` row block into the column block
+    ``[B, N, n_loc, D]``; a local axis swap finishes the transpose.  Its AD
+    transpose is itself an all_to_all (self-dual), so this composes with
+    the WGAN-GP double backward."""
+    z = jax.lax.all_to_all(e, axis_name, split_axis=2, concat_axis=1,
+                           tiled=True)
+    return z.transpose(0, 2, 1, 3)
+
+
 class GraphMHA(nn.Module):
     """Edge-modulated multi-head attention (reference MHA, layers.py:56-137).
 
-    Returns (node_out [B,N,D], edge_out [B,N,N,D])."""
+    Returns (node_out [B,N,D], edge_out [B,N,N,D]).
+
+    ``node_axis``: name of a mesh axis the *query-vertex* (first N) axis is
+    sharded over — the edge-partitioned giant-batch mode
+    (:mod:`druggen_tpu.parallel.edge_partition`), valid only inside
+    ``shard_map``.  Inputs are then local blocks (node ``[B, n_loc, D]``,
+    edge ``[B, n_loc, N, D]``); k/v are projected on local rows and
+    ``all_gather``ed over the axis (the only communication — it rides ICI
+    and moves the small [B,N,D] node stream, never the edge stream)."""
 
     dim: int
     heads: int
     dtype: Any = None
     use_pallas: bool = False
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, node, edge):
         assert self.dim % self.heads == 0
+        assert not (self.use_pallas and self.node_axis), \
+            "fused attention kernel does not support the node-sharded mode"
         b, n, c = node.shape
         h = self.heads
         dk = c // h
 
         q = _dense(c, c, self.dtype, name="q")(node).reshape(b, n, h, dk)
-        k = _dense(c, c, self.dtype, name="k")(node).reshape(b, n, h, dk)
-        v = _dense(c, c, self.dtype, name="v")(node).reshape(b, n, h, dk)
+        k = _dense(c, c, self.dtype, name="k")(node)
+        v = _dense(c, c, self.dtype, name="v")(node)
+        if self.node_axis:
+            k = gather_node_rows(k, self.node_axis)
+            v = gather_node_rows(v, self.node_axis)
+        nk = k.shape[1]
+        k = k.reshape(b, nk, h, dk)
+        v = v.reshape(b, nk, h, dk)
 
         e_dense = _dense(c, c, self.dtype, name="e")
         out_e = _dense(c, c, self.dtype, name="out_e")
@@ -132,12 +184,12 @@ class GraphMHA(nn.Module):
             node_out = out_n(node_agg)
             return node_out, edge_out
 
-        e = e_dense(edge).reshape(b, n, n, h, dk)
+        e = e_dense(edge).reshape(b, n, nk, h, dk)
         # attn[b,i,j,h,dk] = q_i * k_j / sqrt(dk) * (e_ij + 1) * e_ij
-        attn = q[:, :, None] * k[:, None, :, :, :]      # [b,n,n,h,dk]
+        attn = q[:, :, None] * k[:, None, :, :, :]      # [b,n,nk,h,dk]
         attn = attn / math.sqrt(dk)
         attn = attn * (e + 1.0) * e
-        edge_pre = attn.reshape(b, n, n, c)
+        edge_pre = attn.reshape(b, n, nk, c)
         attn = jax.nn.softmax(attn, axis=2)             # over keys j,
         # independently per channel (h, dk) — reference layers.py:130
         node_agg = (attn * v[:, None, :, :, :]).sum(axis=2)  # [b,n,h,dk]
@@ -165,13 +217,14 @@ class EncoderBlock(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     fused_mlp: bool = False
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x1 = ln("ln1")(x)
         x2, y1 = GraphMHA(self.dim, self.heads, self.dtype,
-                          self.use_pallas, name="attn")(x1, y)
+                          self.use_pallas, self.node_axis, name="attn")(x1, y)
         x2 = x1 + x2            # residual vs the *normed* input (sic,
         # reference layers.py:187: x2 = x1 + x2)
         x2 = ln("ln3")(x2)
@@ -226,6 +279,7 @@ class _ScanBlock(nn.Module):
     fused_mlp: bool
     deterministic: bool
     remat: bool
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, carry, _):
@@ -235,8 +289,8 @@ class _ScanBlock(nn.Module):
             block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
         x, y = block_cls(self.dim, self.heads, self.mlp_ratio,
                          self.drop_rate, self.dtype, self.use_pallas,
-                         self.fused_mlp, name="block")(x, y,
-                                                       self.deterministic)
+                         self.fused_mlp, self.node_axis,
+                         name="block")(x, y, self.deterministic)
         return (x, y), None
 
 
@@ -273,6 +327,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     fused_mlp: bool = False
     scan_layers: bool = False
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
@@ -285,6 +340,7 @@ class TransformerEncoder(nn.Module):
             (x, y), _ = scanned(self.dim, self.heads, self.mlp_ratio,
                                 self.drop_rate, self.dtype, self.use_pallas,
                                 self.fused_mlp, deterministic, self.remat,
+                                self.node_axis,
                                 name="blocks")((x, y), None)
             return x, y
         block_cls = EncoderBlock
@@ -295,7 +351,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.depth):
             x, y = block_cls(self.dim, self.heads, self.mlp_ratio,
                              self.drop_rate, self.dtype, self.use_pallas,
-                             self.fused_mlp,
+                             self.fused_mlp, self.node_axis,
                              name=f"block_{i}")(x, y, deterministic)
         return x, y
 

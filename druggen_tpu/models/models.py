@@ -29,7 +29,14 @@ from druggen_tpu.models.layers import (
 
 class _Trunk(nn.Module):
     """Shared Generator/Discriminator front: per-stream input MLPs, edge
-    symmetrization, transformer encoder."""
+    symmetrization, transformer encoder.
+
+    ``node_axis``: run in the edge-partitioned (node-sharded) mode — inputs
+    are local blocks of a ``shard_map`` over that mesh axis; the
+    symmetrization's transpose becomes a distributed transpose
+    (:func:`druggen_tpu.models.layers.distributed_edge_transpose`) and
+    attention gathers k/v (see :class:`GraphMHA`).  Parameter shapes and
+    names are identical to the unsharded model — checkpoints interchange."""
 
     act: str
     edges: int      # b_dim
@@ -44,6 +51,7 @@ class _Trunk(nn.Module):
     remat: bool = False
     fused_mlp: bool = False
     scan_layers: bool = False
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -60,13 +68,20 @@ class _Trunk(nn.Module):
         edge = _dense(self.dim, 64, self.dtype, name="edge_fc2")(edge)
         edge = act(edge)
         edge = nn.Dropout(self.dropout, deterministic=deterministic)(edge)
-        # symmetrize over the two vertex axes (reference models.py:94)
-        edge = (edge + edge.transpose(0, 2, 1, 3)) / 2.0
+        # symmetrize over the two vertex axes (reference models.py:94);
+        # node-sharded mode: distributed transpose (one all_to_all)
+        if self.node_axis:
+            from druggen_tpu.models.layers import distributed_edge_transpose
+
+            edge = (edge + distributed_edge_transpose(
+                edge, self.node_axis)) / 2.0
+        else:
+            edge = (edge + edge.transpose(0, 2, 1, 3)) / 2.0
 
         node, edge = TransformerEncoder(
             self.dim, self.depth, self.heads, self.mlp_ratio, self.dropout,
             self.dtype, self.use_pallas, self.remat, self.fused_mlp,
-            self.scan_layers,
+            self.scan_layers, self.node_axis,
             name="encoder")(
                 node, edge, deterministic)
         return node, edge
@@ -93,13 +108,14 @@ class Generator(nn.Module):
     remat: bool = False
     fused_mlp: bool = False
     scan_layers: bool = False
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
         node, edge = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                             self.dim, self.depth, self.heads, self.mlp_ratio,
                             self.dtype, self.use_pallas, self.remat,
-                            self.fused_mlp, self.scan_layers,
+                            self.fused_mlp, self.scan_layers, self.node_axis,
                             name="trunk")(z_e, z_n, deterministic)
         node_logits = _dense(self.nodes, self.dim, self.dtype,
                              name="readout_n")(node)
@@ -127,6 +143,7 @@ class Discriminator(nn.Module):
     remat: bool = False
     fused_mlp: bool = False
     scan_layers: bool = False
+    node_axis: str | None = None
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -134,8 +151,14 @@ class Discriminator(nn.Module):
         node, _ = _Trunk(self.act, self.edges, self.nodes, self.dropout,
                          self.dim, self.depth, self.heads, self.mlp_ratio,
                          self.dtype, self.use_pallas, self.remat,
-                         self.fused_mlp, self.scan_layers,
+                         self.fused_mlp, self.scan_layers, self.node_axis,
                          name="trunk")(z_e, z_n, deterministic)
+        if self.node_axis:
+            # critic head needs every node row of the sample; gather the
+            # small [B, N, dim] node stream (edge stream stays sharded)
+            from druggen_tpu.models.layers import gather_node_rows
+
+            node = gather_node_rows(node, self.node_axis)
         b = node.shape[0]
         flat = node.reshape(b, -1)            # [B, N*dim]
         h = _dense(64, self.vertexes * self.dim, self.dtype, name="mlp_fc1")(flat)

@@ -84,6 +84,28 @@ class Trainer:
         self.b_dim = self.vocab.b_dim
         self.vertexes = int(self.data.x.shape[1])
 
+        # edge-partitioned (giant-batch) mode: pad the vertex axes so the
+        # 'node' mesh axis divides them (PAD labels are exact no-op
+        # semantics — see data.dataset.pad_vertices)
+        self.node_k = max(getattr(cfg, "mesh_node", 1), 1)
+        if self.node_k > 1:
+            if cfg.features:
+                raise ValueError("mesh_node > 1 does not support --features")
+            if cfg.dropout or cfg.ddropout:
+                raise ValueError("mesh_node > 1 requires dropout=0 "
+                                 "(the reference default)")
+            if cfg.distributed:
+                raise NotImplementedError(
+                    "mesh_node > 1 is single-host for now")
+            if self.vertexes % self.node_k:
+                from druggen_tpu.data.dataset import pad_vertices
+
+                to = -(-self.vertexes // self.node_k) * self.node_k
+                self.data = pad_vertices(self.data, to)
+                self.drug_data = pad_vertices(self.drug_data, to)
+                self.vertexes = to
+                print(f"mesh_node={self.node_k}: padded vertexes to {to}")
+
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
 
@@ -106,7 +128,23 @@ class Trainer:
                                **common)
         self.g_opt, self.d_opt = make_optimizers(cfg)
 
-        self.mesh = make_mesh(cfg.mesh_data)
+        if self.node_k > 1:
+            from druggen_tpu.parallel.edge_partition import (
+                make_edge_mesh,
+                make_sharded_train_step,
+                shard_train_inputs,
+            )
+
+            n_dev = len(jax.devices())
+            dp = cfg.mesh_data if cfg.mesh_data > 0 else max(
+                n_dev // self.node_k, 1)
+            self.mesh = make_edge_mesh(dp, self.node_k)
+            self._shard_fn = lambda *arrs: shard_train_inputs(self.mesh,
+                                                              *arrs)
+        else:
+            self.mesh = make_mesh(cfg.mesh_data)
+            self._shard_fn = lambda *arrs: global_batch_from_local(self.mesh,
+                                                                   *arrs)
         self.key = jax.random.PRNGKey(cfg.seed)
         state = init_state(self.G, self.D, self.g_opt, self.d_opt,
                            jax.random.fold_in(self.key, 0), self.vertexes,
@@ -118,14 +156,25 @@ class Trainer:
                            node_mode="dense" if cfg.features else "labels",
                            gp_mode=getattr(cfg, "gp_mode", "revrev"),
                            fused_critic=getattr(cfg, "fused_critic", False))
-        self.step_fn = make_train_step(self.G, self.D, self.g_opt,
-                                       self.d_opt, **step_kwargs)
         self.multi_step_fn = None
-        if cfg.steps_per_dispatch > 1:
-            from druggen_tpu.train.step import make_multi_step
+        if self.node_k > 1:
+            # full WGAN-GP step under shard_map on ('data','node'); the
+            # fused_critic/gp_mode/steps_per_dispatch knobs apply to the
+            # single-device step only
+            self.step_fn = make_sharded_train_step(
+                self.G, self.D, self.g_opt, self.d_opt, self.mesh,
+                lambda_gp=cfg.lambda_gp, m_dim=self.m_dim, b_dim=self.b_dim,
+                submodel=cfg.submodel, compute_dtype=self.compute_dtype)
+            if cfg.steps_per_dispatch > 1:
+                print("mesh_node > 1: steps_per_dispatch ignored")
+        else:
+            self.step_fn = make_train_step(self.G, self.D, self.g_opt,
+                                           self.d_opt, **step_kwargs)
+            if cfg.steps_per_dispatch > 1:
+                from druggen_tpu.train.step import make_multi_step
 
-            self.multi_step_fn = make_multi_step(
-                self.G, self.D, self.g_opt, self.d_opt, **step_kwargs)
+                self.multi_step_fn = make_multi_step(
+                    self.G, self.D, self.g_opt, self.d_opt, **step_kwargs)
 
         # ---- dirs + logging (reference train.py:283-289)
         self.run_name = cfg.run_name
@@ -224,16 +273,15 @@ class Trainer:
                     else:
                         # tail smaller than K: fall back to single steps
                         for xt, at, dxt, dat in zip(xs, as_, dxs, das):
-                            xb, ab, dxb, dab = global_batch_from_local(
-                                self.mesh, xt, at, dxt, dat)
+                            xb, ab, dxb, dab = self._shard_fn(
+                                xt, at, dxt, dat)
                             self.state, metrics, (node_logits, edge_logits) \
                                 = self.step_fn(self.state, self.key,
                                                xb, ab, dxb, dab)
                             it += 1
                         x, a = xs[-1], as_[-1]
                 else:
-                    xb, ab, dxb, dab = global_batch_from_local(
-                        self.mesh, x, a, dx, da)
+                    xb, ab, dxb, dab = self._shard_fn(x, a, dx, da)
                     self.state, metrics, (node_logits, edge_logits) = \
                         self.step_fn(self.state, self.key, xb, ab, dxb, dab)
                     it += 1

@@ -127,3 +127,39 @@ def test_full_pipeline(workdir):
         res = json.load(f)
     assert 0.0 <= res["validity"] <= 1.0
     assert res["n_generated"] == n_gen
+
+
+def test_train_cli_mesh_node(workdir, capsys):
+    """--mesh_node from the CLI: the trainer pads 25 -> 28 vertexes and
+    trains the full edge-partitioned step on the ('data','node') mesh."""
+    import train as train_cli
+
+    args = [
+        "--raw_file", str(workdir / "chembl.smi"),
+        "--drug_raw_file", str(workdir / "drugs.smi"),
+        "--submodel", "DrugGEN",
+        "--max_atom", "25", "--dim", "16", "--heads", "2",
+        "--batch_size", "8", "--epoch", "1",
+        "--g_lr", "1e-4", "--d_lr", "1e-4",
+        "--log_sample_step", "100",
+        "--mol_data_dir", str(workdir / "cache"),
+        "--drug_data_dir", str(workdir / "cache_drug"),
+        "--log_dir", str(workdir / "logs_en"),
+        "--sample_dir", str(workdir / "samples_en"),
+        "--model_save_dir", str(workdir / "models_en"),
+        "--exp_name", "e2e_edge",
+        "--mesh_node", "4",
+    ]
+    train_cli.main(args)
+    out = capsys.readouterr().out
+    assert "padded vertexes to 28" in out
+    assert "'node': 4" in out
+    import json
+
+    log_files = [f for f in os.listdir(workdir / "logs_en")
+                 if "e2e_edge" in f and f.endswith(".jsonl")]
+    with open(workdir / "logs_en" / log_files[0]) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    import math
+
+    assert any("d_loss" in r and math.isfinite(r["d_loss"]) for r in records)
