@@ -31,6 +31,11 @@ def main():
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--platform", default=None)
+    p.add_argument("--mode", choices=["dp", "edge"], default="dp",
+                   help="dp: data-parallel weak scaling; edge: the full "
+                   "edge-partitioned WGAN-GP step on ('data','node') "
+                   "meshes of growing node width (vertexes padded to a "
+                   "multiple of the node axis)")
     args = p.parse_args()
 
     import jax
@@ -55,6 +60,9 @@ def main():
     vocab = CHEMBL_VOCAB
     m_dim, b_dim = vocab.m_dim, vocab.b_dim
     vert = args.vertexes
+
+    if args.mode == "edge":
+        return edge_mode(args, m_dim, b_dim)
 
     results = []
     base_throughput = None
@@ -107,6 +115,90 @@ def main():
                         "mols_per_s": round(mols, 1),
                         "edges_per_s": round(edges, 1),
                         "scaling_efficiency": round(eff, 3)})
+        print(json.dumps(results[-1]))
+    print(json.dumps({"summary": results}))
+
+
+def edge_mode(args, m_dim, b_dim):
+    """Edge-partitioned full-step scaling: hold the GLOBAL batch constant
+    and widen the 'node' axis (strong scaling of the edge stream) on
+    ('data','node') meshes — the giant-batch capability measurement."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from druggen_tpu.models import Discriminator, Generator
+    from druggen_tpu.parallel import shard_state
+    from druggen_tpu.parallel.edge_partition import (
+        make_edge_mesh,
+        make_sharded_train_step,
+        shard_train_inputs,
+    )
+    from druggen_tpu.train.step import init_state, make_optimizers
+
+    n_devices = len(jax.devices())
+    configs = [(1, n) for n in (1, 2, 4, 8) if n <= n_devices]
+    # also a mixed mesh when enough devices
+    if n_devices >= 8:
+        configs.append((2, 4))
+
+    batch = args.per_device_batch
+
+    class _Cfg:
+        g_lr = d_lr = 1e-5
+        beta1, beta2 = 0.9, 0.999
+        adam_weight_decay = 0.01
+
+    results = []
+    base = None
+    for dp, nk in configs:
+        vert = -(-args.vertexes // nk) * nk
+        g = Generator(act="relu", vertexes=vert, edges=b_dim, nodes=m_dim,
+                      dropout=0.0, dim=args.dim, depth=args.depth,
+                      heads=args.heads, mlp_ratio=3)
+        d = Discriminator(act="relu", vertexes=vert, edges=b_dim,
+                          nodes=m_dim, dropout=0.0, dim=args.dim,
+                          depth=args.depth, heads=args.heads, mlp_ratio=3)
+        g_opt, d_opt = make_optimizers(_Cfg())
+        mesh = make_edge_mesh(dp, nk)
+        state = shard_state(mesh, init_state(
+            g, d, g_opt, d_opt, jax.random.PRNGKey(0), vert, m_dim, b_dim))
+        step = make_sharded_train_step(g, d, g_opt, d_opt, mesh,
+                                       lambda_gp=10.0, m_dim=m_dim,
+                                       b_dim=b_dim, donate=False)
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, m_dim, (batch, vert)).astype(np.int8)
+        a0 = np.triu(rng.integers(0, b_dim, (batch, vert, vert)), 1)
+        a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+        xb, ab, dxb, dab = shard_train_inputs(mesh, x, a, x.copy(), a.copy())
+        key = jax.random.PRNGKey(1)
+        metrics = None
+        for _ in range(2):
+            state, metrics, _ = step(state, key, xb, ab, dxb, dab)
+        float(metrics["d_loss"])
+
+        def chain(k, st):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(k):
+                st, last, _ = step(st, key, xb, ab, dxb, dab)
+            float(last["d_loss"])
+            return time.perf_counter() - t0, st
+
+        w_small, state = chain(2, state)
+        w_large, state = chain(2 + args.iters, state)
+        sec = max((w_large - w_small) / args.iters, 1e-9)
+        mols = batch / sec
+        edges = mols * vert * vert
+        if base is None:
+            base = mols
+        results.append({"mesh": f"{dp}x{nk}", "devices": dp * nk,
+                        "batch": batch, "vertexes": vert,
+                        "step_seconds": round(sec, 5),
+                        "mols_per_s": round(mols, 1),
+                        "edges_per_s": round(edges, 1),
+                        "speedup_vs_1dev": round(mols / base, 3)})
         print(json.dumps(results[-1]))
     print(json.dumps({"summary": results}))
 
