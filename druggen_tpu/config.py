@@ -79,6 +79,11 @@ class TrainConfig:
     # "revrev" (reference-style double reverse) | "fwdrev" (reverse-over-
     # forward, same gradients — see losses.gradient_penalty_fwdrev)
     mesh_data: int = 0                   # 0 => all visible devices on 'data'
+    mesh_model: int = 1                  # >1: tensor parallelism — shard
+    # the attention/MLP weight matrices over a 'model' mesh axis (Megatron
+    # column/row pattern, parallel/tensor_parallel.py).  dim must be
+    # divisible by mesh_model.  For wide configs (dim >= 512); the default
+    # dim-128 model does not need it.
     mesh_node: int = 1                   # >1: edge-partitioned giant-batch
     # training — shard the [B,N,N,dim] edge streams' first vertex axis over
     # a 'node' mesh axis of this size (full WGAN-GP step under shard_map;

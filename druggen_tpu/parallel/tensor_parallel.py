@@ -88,3 +88,45 @@ def shard_params_tp(mesh: Mesh, params):
     """device_put the param tree with TP shardings."""
     sh = tp_param_shardings(mesh, params)
     return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def shard_gan_state_tp(mesh: Mesh, state):
+    """Apply TP shardings to a full ``GANState`` (params + optimizer states).
+
+    Optimizer states (optax adamw) are tuples/namedtuples whose mu/nu
+    members are param-shaped pytrees: any subtree whose structure equals
+    the corresponding param tree gets the same TP shardings; scalar leaves
+    (Adam count, schedule state) are replicated.  This keeps the momentum
+    buffers co-located with their weights — no per-step resharding."""
+    g_sh = tp_param_shardings(mesh, state.g_params)
+    d_sh = tp_param_shardings(mesh, state.d_params)
+    repl = NamedSharding(mesh, P())
+
+    def shard_like(tree, shardings, treedef):
+        def rec(node):
+            try:
+                if jax.tree_util.tree_structure(node) == treedef:
+                    return jax.tree_util.tree_map(jax.device_put, node,
+                                                  shardings)
+            except Exception:
+                pass
+            if isinstance(node, tuple):
+                vals = [rec(v) for v in node]
+                try:
+                    return type(node)(*vals)
+                except TypeError:
+                    return tuple(vals)
+            if isinstance(node, dict):
+                return {k: rec(v) for k, v in node.items()}
+            return jax.device_put(node, repl)
+
+        return rec(tree)
+
+    g_def = jax.tree_util.tree_structure(state.g_params)
+    d_def = jax.tree_util.tree_structure(state.d_params)
+    return state._replace(
+        g_params=jax.tree_util.tree_map(jax.device_put, state.g_params, g_sh),
+        d_params=jax.tree_util.tree_map(jax.device_put, state.d_params, d_sh),
+        g_opt_state=shard_like(state.g_opt_state, g_sh, g_def),
+        d_opt_state=shard_like(state.d_opt_state, d_sh, d_def),
+        step=jax.device_put(state.step, repl))

@@ -128,6 +128,10 @@ class Trainer:
                                **common)
         self.g_opt, self.d_opt = make_optimizers(cfg)
 
+        self.tp_k = max(getattr(cfg, "mesh_model", 1), 1)
+        if self.tp_k > 1 and self.node_k > 1:
+            raise ValueError("mesh_model and mesh_node are mutually "
+                             "exclusive for now")
         if self.node_k > 1:
             from druggen_tpu.parallel.edge_partition import (
                 make_edge_mesh,
@@ -141,6 +145,18 @@ class Trainer:
             self.mesh = make_edge_mesh(dp, self.node_k)
             self._shard_fn = lambda *arrs: shard_train_inputs(self.mesh,
                                                               *arrs)
+        elif self.tp_k > 1:
+            from druggen_tpu.parallel.tensor_parallel import make_dp_tp_mesh
+
+            if cfg.dim % self.tp_k:
+                raise ValueError(f"dim={cfg.dim} not divisible by "
+                                 f"mesh_model={self.tp_k}")
+            n_dev = len(jax.devices())
+            dp = cfg.mesh_data if cfg.mesh_data > 0 else max(
+                n_dev // self.tp_k, 1)
+            self.mesh = make_dp_tp_mesh(dp, self.tp_k)
+            self._shard_fn = lambda *arrs: global_batch_from_local(self.mesh,
+                                                                   *arrs)
         else:
             self.mesh = make_mesh(cfg.mesh_data)
             self._shard_fn = lambda *arrs: global_batch_from_local(self.mesh,
@@ -149,7 +165,14 @@ class Trainer:
         state = init_state(self.G, self.D, self.g_opt, self.d_opt,
                            jax.random.fold_in(self.key, 0), self.vertexes,
                            self.m_dim, self.b_dim)
-        self.state = shard_state(self.mesh, state)
+        if self.tp_k > 1:
+            from druggen_tpu.parallel.tensor_parallel import (
+                shard_gan_state_tp,
+            )
+
+            self.state = shard_gan_state_tp(self.mesh, state)
+        else:
+            self.state = shard_state(self.mesh, state)
         step_kwargs = dict(lambda_gp=cfg.lambda_gp, m_dim=self.m_dim,
                            b_dim=self.b_dim, submodel=cfg.submodel,
                            compute_dtype=self.compute_dtype,

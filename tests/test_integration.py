@@ -163,3 +163,36 @@ def test_train_cli_mesh_node(workdir, capsys):
     import math
 
     assert any("d_loss" in r and math.isfinite(r["d_loss"]) for r in records)
+
+
+def test_train_cli_mesh_model(workdir, capsys):
+    """--mesh_model from the CLI: TP-sharded training end-to-end."""
+    import train as train_cli
+
+    args = [
+        "--raw_file", str(workdir / "chembl.smi"),
+        "--drug_raw_file", str(workdir / "drugs.smi"),
+        "--submodel", "DrugGEN",
+        "--max_atom", "25", "--dim", "16", "--heads", "2",
+        "--batch_size", "8", "--epoch", "1",
+        "--g_lr", "1e-4", "--d_lr", "1e-4",
+        "--log_sample_step", "100",
+        "--mol_data_dir", str(workdir / "cache"),
+        "--drug_data_dir", str(workdir / "cache_drug"),
+        "--log_dir", str(workdir / "logs_tp"),
+        "--sample_dir", str(workdir / "samples_tp"),
+        "--model_save_dir", str(workdir / "models_tp"),
+        "--exp_name", "e2e_tp",
+        "--mesh_model", "2", "--mesh_data", "4",
+    ]
+    train_cli.main(args)
+    out = capsys.readouterr().out
+    assert "'model': 2" in out
+    import json
+    import math
+
+    log_files = [f for f in os.listdir(workdir / "logs_tp")
+                 if "e2e_tp" in f and f.endswith(".jsonl")]
+    with open(workdir / "logs_tp" / log_files[0]) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    assert any("d_loss" in r and math.isfinite(r["d_loss"]) for r in records)

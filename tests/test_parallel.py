@@ -166,3 +166,103 @@ def test_tensor_parallel_generator_matches_replicated():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(r), np.asarray(o),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_tp_full_train_step_matches_replicated():
+    """VERDICT round-1 item 7: TP exercised in the FULL WGAN-GP train step
+    (not just one forward).  A (4 data x 2 model) mesh with TP-sharded
+    params + optimizer state produces the same losses as the replicated
+    single-mesh step."""
+    import optax
+
+    from druggen_tpu.models import Discriminator, Generator
+    from druggen_tpu.parallel import make_mesh, shard_batch, shard_state
+    from druggen_tpu.parallel.tensor_parallel import (
+        make_dp_tp_mesh,
+        shard_gan_state_tp,
+    )
+    from druggen_tpu.parallel.mesh import global_batch_from_local
+    from druggen_tpu.train.step import init_state, make_train_step
+
+    b, n, m_dim, b_dim, dim, heads = 8, 7, 5, 4, 16, 4
+    common = dict(act="relu", vertexes=n, edges=b_dim, nodes=m_dim,
+                  dropout=0.0, dim=dim, depth=2, heads=heads, mlp_ratio=2)
+    g, d = Generator(**common), Discriminator(**common)
+    g_opt = optax.sgd(1e-2)
+    d_opt = optax.sgd(1e-2)
+    key = jax.random.PRNGKey(9)
+    state0 = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(4), n,
+                        m_dim, b_dim)
+    step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
+                           b_dim=b_dim, donate=False)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, m_dim, (b, n)).astype(np.int32)
+    a = rng.integers(0, b_dim, (b, n, n)).astype(np.int32)
+    a = np.minimum(a, a.transpose(0, 2, 1))
+
+    # replicated reference
+    mesh1 = make_mesh(1)
+    sa = shard_state(mesh1, state0)
+    sa, m_a, _ = step(sa, key, x, a, x, a)
+    sa, m_a2, _ = step(sa, key, x, a, x, a)
+
+    # TP on (4, 2)
+    mesh = make_dp_tp_mesh(4, 2)
+    sb = shard_gan_state_tp(mesh, state0)
+    xb, ab, dxb, dab = global_batch_from_local(mesh, x, a, x, a)
+    sb, m_b, _ = step(sb, key, xb, ab, dxb, dab)
+    sb, m_b2, _ = step(sb, key, xb, ab, dxb, dab)
+
+    for ma, mb in ((m_a, m_b), (m_a2, m_b2)):
+        np.testing.assert_allclose(float(ma["d_loss"]), float(mb["d_loss"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(ma["g_loss"]), float(mb["g_loss"]),
+                                   rtol=1e-5, atol=1e-6)
+    # params stayed TP-sharded through the update (no silent gather)
+    from jax.sharding import PartitionSpec as P
+
+    qk = sb.g_params["params"]["trunk"]["encoder"]["block_0"]["attn"]["q"][
+        "kernel"]
+    assert qk.sharding.spec == P(None, "model")
+
+
+def test_tp_wide_config_compiles_and_runs():
+    """dim-512 wide config on a 1x8 model mesh: the step compiles, runs,
+    and keeps the big kernels sharded (VERDICT item 7 wide-config check)."""
+    import optax
+
+    from druggen_tpu.models import Discriminator, Generator
+    from druggen_tpu.parallel.tensor_parallel import (
+        make_dp_tp_mesh,
+        shard_gan_state_tp,
+    )
+    from druggen_tpu.parallel.mesh import global_batch_from_local
+    from druggen_tpu.train.step import init_state, make_train_step
+
+    b, n, m_dim, b_dim, dim, heads = 2, 12, 5, 4, 512, 8
+    common = dict(act="relu", vertexes=n, edges=b_dim, nodes=m_dim,
+                  dropout=0.0, dim=dim, depth=1, heads=heads, mlp_ratio=2)
+    g, d = Generator(**common), Discriminator(**common)
+    g_opt = optax.sgd(1e-3)
+    d_opt = optax.sgd(1e-3)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(0), n, m_dim,
+                       b_dim)
+    mesh = make_dp_tp_mesh(1, 8)
+    state = shard_gan_state_tp(mesh, state)
+    step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
+                           b_dim=b_dim, donate=False)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, m_dim, (b, n)).astype(np.int32)
+    a = rng.integers(0, b_dim, (b, n, n)).astype(np.int32)
+    a = np.minimum(a, a.transpose(0, 2, 1))
+    xb, ab, dxb, dab = global_batch_from_local(mesh, x, a, x, a)
+    state, metrics, _ = step(state, jax.random.PRNGKey(1), xb, ab, dxb, dab)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    # per-device kernel bytes: a [512, 1024] fc1 sharded 8-way on axis 1
+    from jax.sharding import PartitionSpec as P
+
+    fc1 = state.g_params["params"]["trunk"]["encoder"]["block_0"]["mlp"][
+        "fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "model")
