@@ -385,7 +385,10 @@ def main():
         if tb:
             vs_baseline = tb / sec
 
-    g_fwds = "2 G fwd" if args.no_share_fake else "1 shared G fwd"
+    # build() constructs G with dropout=0.0, so share_fake='auto' resolves
+    # to True; the label reflects the resolved value, not just the flag.
+    share_fake_resolved = not args.no_share_fake
+    g_fwds = "1 shared G fwd" if share_fake_resolved else "2 G fwd"
     workload = (f"full WGAN-GP step ({g_fwds}, 4 D fwd, double bwd)"
                 if args.mode == "train"
                 else "G forward + argmax decode (inference hot loop)")

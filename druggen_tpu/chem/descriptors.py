@@ -63,8 +63,6 @@ def num_h_acceptors(mol: Mol) -> int:
 def num_rotatable_bonds(mol: Mol) -> int:
     """Acyclic single bonds between two non-terminal heavy atoms, excluding
     amide C-N (the strict RDKit definition)."""
-    if not mol.sanitized:
-        ring_bonds = set()
     ring_bonds = set()
     for r in mol.ring_info():
         for i in range(len(r)):

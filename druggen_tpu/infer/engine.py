@@ -14,8 +14,10 @@ hot path.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
+import warnings
 
 import numpy as np
 
@@ -51,6 +53,17 @@ class InferenceEngine:
         self.vertexes = int(self.data.x.shape[1])
         self.compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
+        if self.compute_dtype == jnp.float32 and getattr(cfg, "fused_mlp",
+                                                         False):
+            # The fused-MLP kernel tiles are sized for bf16; at f32 it
+            # measured ~3x slower than XLA (PERF.md inference table), so
+            # mirror bench.py's guard rather than run the known-bad combo.
+            warnings.warn("fused_mlp with compute_dtype=float32 is ~3x "
+                          "slower than plain XLA (bf16-sized kernel tiles); "
+                          "disabling fused_mlp. Use bfloat16 to keep it.",
+                          stacklevel=2)
+            cfg = dataclasses.replace(cfg, fused_mlp=False)
+            self.cfg = cfg
         self.G = Generator(act=cfg.act, vertexes=self.vertexes,
                            edges=self.b_dim, nodes=self.m_dim,
                            dropout=cfg.dropout, dim=cfg.dim, depth=cfg.depth,
@@ -68,7 +81,9 @@ class InferenceEngine:
                 jnp.zeros((1, self.vertexes, self.m_dim)))
             path = os.path.join(cfg.inference_model,
                                 f"{cfg.submodel}-G.ckpt")
-            self.g_params = ckpt.load_params(path, template)
+            # auto-converts scan_layers (stacked blocks/block) checkpoints
+            # into this engine's unrolled Generator layout, and vice versa
+            self.g_params = ckpt.load_params_auto(path, template)
 
         if cfg.use_pallas:
             # v4 fully-fused generator kernel (ops/fused_generator.py): the

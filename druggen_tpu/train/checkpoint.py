@@ -43,6 +43,37 @@ def load_params(path: str, template):
         return serialization.from_bytes(template, f.read())
 
 
+def _has_stacked_blocks(tree) -> bool:
+    """True if a ``{'blocks': {'block': …}}`` subtree (the scan_layers
+    param layout, models/layers.py:317) appears anywhere in the tree."""
+    if not isinstance(tree, dict):
+        return False
+    if set(tree) == {"blocks"} and isinstance(tree["blocks"], dict) \
+            and set(tree["blocks"]) == {"block"}:
+        return True
+    return any(_has_stacked_blocks(v) for v in tree.values())
+
+
+def load_params_auto(path: str, template):
+    """Like :func:`load_params`, but detects a scan_layers/unrolled layout
+    mismatch between the checkpoint and ``template`` and converts the
+    loaded tree with stack/unstack_block_params.  Lets checkpoints trained
+    with ``--scan_layers`` load into an unrolled inference Generator (and
+    vice versa) without manual conversion."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    tstate = serialization.to_state_dict(template)
+    raw_stacked = _has_stacked_blocks(raw)
+    tmpl_stacked = _has_stacked_blocks(tstate)
+    if raw_stacked and not tmpl_stacked:
+        from druggen_tpu.models.layers import unstack_block_params
+        raw = unstack_block_params(raw)
+    elif tmpl_stacked and not raw_stacked:
+        from druggen_tpu.models.layers import stack_block_params
+        raw = stack_block_params(raw)
+    return serialization.from_state_dict(template, raw)
+
+
 def save_gd_params(model_dir: str, state: GANState, epoch: int, it: int) -> None:
     """Reference-style G/D exports (train.py:259-263 naming)."""
     os.makedirs(model_dir, exist_ok=True)

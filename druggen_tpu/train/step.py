@@ -102,6 +102,14 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     stream is live between blocks."""
     if share_fake == "auto":
         share_fake = getattr(g_model, "dropout", 0.0) == 0.0
+    elif share_fake and getattr(g_model, "dropout", 0.0) > 0.0:
+        # The reference's second G forward redraws dropout masks
+        # (loss.py:80); sharing the linearization would silently change
+        # training semantics, so refuse the explicit combination.
+        raise ValueError(
+            "share_fake=True with generator dropout > 0 changes training "
+            "semantics (the reference redraws dropout masks on the G-step "
+            "forward). Use share_fake='auto' or set dropout=0.")
 
     def g_apply(params, rng, e, n):
         return g_model.apply(params, e, n, deterministic=False,

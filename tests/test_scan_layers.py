@@ -129,3 +129,55 @@ def test_generator_checkpoint_layout_conversion():
     for a, b in zip(out_u, out_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_load_params_auto_cross_layout(tmp_path):
+    """A scan_layers checkpoint on disk must load into an unrolled template
+    (and vice versa) via checkpoint.load_params_auto — the inference engine
+    relies on this when a --scan_layers training run exports G."""
+    from druggen_tpu.train import checkpoint as ckpt
+
+    m_dim, b_dim = 5, 4
+    kw = dict(act="relu", vertexes=N, edges=b_dim, nodes=m_dim, dropout=0.0,
+              dim=DIM, depth=DEPTH, heads=HEADS, mlp_ratio=2)
+    g_unrolled = Generator(**kw, scan_layers=False)
+    g_scan = Generator(**kw, scan_layers=True)
+    z_e = jax.random.normal(jax.random.PRNGKey(0), (B, N, N, b_dim))
+    z_n = jax.random.normal(jax.random.PRNGKey(1), (B, N, m_dim))
+    p = g_unrolled.init(jax.random.PRNGKey(2), z_e, z_n)
+    p_scan = jax.tree_util.tree_map(jnp.asarray, stack_block_params(p))
+
+    # scan-trained ckpt -> unrolled template
+    path = str(tmp_path / "scan-G.ckpt")
+    ckpt.save_params(path, p_scan)
+    loaded = ckpt.load_params_auto(path, p)
+    out_ref = g_unrolled.apply(p, z_e, z_n)
+    out_loaded = g_unrolled.apply(loaded, z_e, z_n)
+    for a, b in zip(out_ref, out_loaded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+    # unrolled ckpt -> scan template
+    path2 = str(tmp_path / "unrolled-G.ckpt")
+    ckpt.save_params(path2, p)
+    loaded2 = ckpt.load_params_auto(path2, p_scan)
+    out_s = g_scan.apply(loaded2, z_e, z_n)
+    for a, b in zip(out_ref, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_share_fake_explicit_with_dropout_raises():
+    """Explicit share_fake=True + generator dropout > 0 must be rejected
+    (the reference redraws dropout masks on the G-step forward)."""
+    m_dim, b_dim = 5, 4
+    kw = dict(act="relu", vertexes=N, edges=b_dim, nodes=m_dim,
+              dim=DIM, depth=1, heads=HEADS, mlp_ratio=2)
+    g = Generator(**kw, dropout=0.1)
+    d = Discriminator(**kw, dropout=0.0)
+    cfg = TrainConfig(raw_file="x", drug_raw_file="y", batch_size=B,
+                      max_atom=N, dim=DIM, heads=HEADS, mlp_ratio=2)
+    g_opt, d_opt = make_optimizers(cfg)
+    with pytest.raises(ValueError, match="share_fake"):
+        make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
+                        b_dim=b_dim, share_fake=True)
