@@ -209,10 +209,19 @@ def crippen_logp(mol: Mol) -> float:
 # ---------------------------------------------------------------- alerts
 
 def count_alerts(mol: Mol) -> int:
-    """Small procedural structural-alert set standing in for the Brenk
-    SMARTS catalogue of QED's ALERTS term: aldehydes, acyl halides, alkyl
-    halide runs, nitro groups, long aliphatic chains, azo/N-N, peroxide,
-    thiol, isolated triple-bond N (isonitrile-like)."""
+    """QED's ALERTS descriptor: number of structural-alert SMARTS hit.
+
+    Routed through the from-scratch SMARTS engine and the alert catalogue
+    in :mod:`druggen_tpu.chem.alerts` (Bickerton/Brenk set re-derivation).
+    The round-1 procedural fallback remains as
+    :func:`count_alerts_procedural`."""
+    from druggen_tpu.chem.alerts import count_alerts as _smarts_count
+    return _smarts_count(mol)
+
+
+def count_alerts_procedural(mol: Mol) -> int:
+    """Round-1 procedural alert set (aldehydes, nitro, azo/N-N, peroxide,
+    thiol, long CH2 runs) — kept as a dependency-free fallback."""
     alerts = 0
     for i, a in enumerate(mol.atoms):
         nbrs = mol.neighbors(i)

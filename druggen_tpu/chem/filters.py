@@ -1,17 +1,18 @@
-"""Structural-alert filters (PAINS-lite).
+"""Structural-alert filters.
 
 The reference loads RDKit's full PAINS A/B/C SMARTS catalogue
-(``src/util/utils.py:668-695``).  Without a SMARTS engine we implement the
-highest-frequency PAINS classes as direct graph patterns — quinones,
-catechols/hydroquinones, azo compounds, rhodanine-like thiocarbonyls,
-Mannich-phenols, alkylidene barbiturates (enone-flanked dicarbonyl) — which
-together cover the large majority of PAINS hits in drug-like libraries.
-Documented subset, same call contract: ``is_pains(mol, catalog)``.
+(``src/util/utils.py:668-695``).  Since round 2 the default path runs the
+from-scratch SMARTS engine (:mod:`druggen_tpu.chem.smarts`) over the
+family catalogue in :mod:`druggen_tpu.chem.pains`; the round-1 procedural
+graph checks below are kept as a dependency-free fast path
+(``is_pains(mol, load_pains_filters())``) and for regression comparison.
+Same call contract either way: ``is_pains(mol, catalog)``.
 """
 
 from __future__ import annotations
 
 from druggen_tpu.chem.mol import BondType, Mol
+from druggen_tpu.chem.pains import PainsCatalog, load_pains_catalog
 
 
 def _carbonyl_carbons(mol: Mol) -> set[int]:
@@ -123,11 +124,18 @@ def load_pains_filters():
 
 
 def is_pains(mol: Mol, catalog=None) -> bool:
-    """True if any alert fires (reference is_pains, utils.py:683-695)."""
-    checks = catalog or _PAINS_CHECKS
+    """True if any alert fires (reference is_pains, utils.py:683-695).
+
+    Default catalogue is the SMARTS-based PAINS family table
+    (chem/pains.py); pass ``load_pains_filters()`` for the round-1
+    procedural subset."""
     if not mol.sanitized:
         try:
             mol.sanitize()
         except Exception:
             return False
-    return any(check(mol) for check in checks)
+    if catalog is None:
+        catalog = load_pains_catalog()
+    if isinstance(catalog, PainsCatalog):
+        return catalog.first_match(mol) is not None
+    return any(check(mol) for check in catalog)

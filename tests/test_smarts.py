@@ -1,0 +1,201 @@
+"""SMARTS engine + PAINS/alert catalogue tests.
+
+The engine replaces RDKit substructure matching used by the reference's
+PAINS FilterCatalog (utils.py:892-930) and QED ALERTS (inference.py:264).
+Cases are hand-built: each (pattern, molecule, expected) pair was checked
+by hand against Daylight SMARTS semantics.
+"""
+
+import pytest
+
+from druggen_tpu.chem.alerts import load_alert_catalog
+from druggen_tpu.chem.pains import _PAINS_TABLE, is_pains, load_pains_catalog
+from druggen_tpu.chem.smarts import (
+    MolFeatures,
+    SmartsError,
+    compile_smarts,
+    has_match,
+)
+from druggen_tpu.chem.smiles import mol_from_smiles
+
+
+def _mol(smi):
+    m = mol_from_smiles(smi)
+    assert m is not None, smi
+    m.sanitize()
+    return m
+
+
+CASES = [
+    # aromaticity and elements
+    ("c1ccccc1", "c1ccccc1", True),
+    ("c1ccccc1", "C1CCCCC1", False),
+    ("C1CCCCC1", "c1ccccc1", False),
+    ("[#6]", "c1ccccc1", True),
+    ("[#7]", "c1ccccc1", False),
+    ("a", "c1ccccc1", True),
+    ("A", "c1ccccc1", False),
+    ("[a;!c]", "c1ccncc1", True),
+    # bonds
+    ("C=O", "CC(=O)C", True),
+    ("C=O", "CCO", False),
+    ("C#N", "CC#N", True),
+    ("C~N", "CN", True),
+    ("C~N", "C=N", True),
+    ("C:C", "c1ccccc1", False),   # uppercase C is aliphatic
+    ("c:c", "c1ccccc1", True),
+    ("C-C", "C=C", False),
+    # default bond is single-or-aromatic
+    ("CC", "C=C", False),
+    ("cc", "c1ccccc1", True),
+    # H / D / X / v counts
+    ("[CX4H3]", "CC", True),
+    ("[CX4H2]", "CC", False),
+    ("[NX3;H2]", "CCN", True),
+    ("[NX3;H2]", "CCNC", False),
+    ("[OX2H1]", "CCO", True),
+    ("[D3]", "CC(C)C", True),
+    ("[D4]", "CC(C)C", False),
+    ("[v4]", "C", True),
+    ("[cH0]", "Cc1ccccc1", True),
+    ("[nH]", "c1cc[nH]c1", True),
+    ("[nH]", "c1ccncc1", False),
+    # charge
+    ("[O-]", "[O-]C(=O)C", True),
+    ("[O-]", "OC(=O)C", False),
+    ("[N+]", "C[N+](C)(C)C", True),
+    ("[#7+]", "C[N+](C)(C)C", True),
+    # rings
+    ("[R]", "C1CC1C", True),
+    ("[R0]", "C1CC1C", True),      # the side-chain carbon
+    ("[R2]", "C1CC2CC12", True),
+    ("[r6]", "c1ccccc1", True),
+    ("[r5]", "c1ccccc1", False),
+    ("[C@]", "C", True),           # chirality parsed + ignored
+    # ring-bond primitive
+    ("a!@a", "c1ccc(-c2ccccc2)cc1", True),
+    ("a!@a", "c1ccccc1", False),
+    ("C@C", "C1CC1", True),
+    ("C@C", "CC", False),
+    # logical operators
+    ("[C,N]", "CCO", True),
+    ("[!C;!N]", "CCO", True),
+    ("[F,Cl,Br,I]", "CCCl", True),
+    ("[F,Cl,Br,I]", "CCO", False),
+    ("[N;!H0]", "CNC", True),
+    ("[N&X3]", "CN(C)C", True),
+    # recursion
+    ("[$(C=O)][OH]", "CC(=O)O", True),
+    ("[$(C=O)][OH]", "CCO", False),
+    ("[$([NX3][CX3]=[OX1])]", "CC(=O)NC", True),
+    # branches + closures
+    ("O=C1CCCCC1", "O=C1CCCCC1", True),
+    ("C(=O)(O)C", "CC(=O)O", True),
+    ("C1CC1", "C1CC1", True),
+    ("C%11CC%11", "C1CC1", True),
+    # disconnected components
+    ("C.C", "CC", True),
+    ("[Na+].[Cl-]", "CC", False),
+    # functional groups used by the catalogues
+    ("[CX3](=O)[OX2H1]", "CC(=O)O", True),
+    ("[CX3](=O)[OX2H1]", "CC(=O)OC", False),
+    ("[SX2H]", "CCS", True),
+    ("[SX2H]", "CCSC", False),
+    ("[NX3+](=[OX1])[OX1-]", "C[N+](=O)[O-]", True),
+]
+
+
+@pytest.mark.parametrize("smarts,smiles,expected", CASES)
+def test_match(smarts, smiles, expected):
+    assert has_match(smarts, _mol(smiles)) == expected
+
+
+def test_injective_mapping():
+    # two query carbons cannot map onto the same mol atom
+    assert not has_match("C(C)(C)(C)(C)C", _mol("CC"))
+    assert has_match("C(C)(C)(C)C", _mol("CC(C)(C)C"))
+
+
+def test_monomorphism_not_induced():
+    # SMARTS matching ignores extra molecule bonds between mapped atoms:
+    # a 3-chain query must match inside a 3-ring
+    assert has_match("CCC", _mol("C1CC1"))
+
+
+def test_parse_errors():
+    for bad in ["C1CC", "C)", "[", "[Q]", "", "[C$]"]:
+        with pytest.raises(SmartsError):
+            compile_smarts(bad)
+    compile_smarts.cache_clear()
+
+
+def test_mol_features_shared():
+    m = _mol("c1ccccc1O")
+    feats = MolFeatures(m)
+    assert compile_smarts("[OH]").has_match(feats)
+    assert compile_smarts("c").has_match(feats)
+
+
+# ------------------------------------------------------------ catalogues
+
+PAINS_POSITIVE = [
+    # canonical frequent hitters, one per family head
+    ("O=C1NC(=S)SC1=Cc1ccccc1", "ene_rhod_A"),          # benzylidene rhodanine
+    ("O=C1NC(=O)NC(=O)C1=Cc1ccccc1", "ene_six_het_A"),  # alkylidene barbiturate
+    ("O=C1C=CC(=O)C=C1", "quinone_A"),
+    ("Oc1ccccc1O", "catechol_A"),
+    ("c1ccc(N=Nc2ccccc2)cc1", "azo_A"),
+    ("Oc1ccccc1C=NN", "hzone_phenol_A"),
+    ("C=Cc1c[nH]c2ccccc12", "indol_3yl_alk"),
+    ("Oc1ccccc1CN(C)C", "mannich_A"),
+    ("CN(C)c1ccc(C=CC(=O)c2ccccc2)cc1", "anil_di_alk_A"),
+]
+
+PAINS_NEGATIVE = [
+    "CC(=O)Oc1ccccc1C(=O)O",                  # aspirin
+    "CC(C)Cc1ccc(C(C)C(=O)O)cc1",             # ibuprofen
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C",             # caffeine
+    "CC(C)NCC(O)COc1ccc(CC(N)=O)cc1",         # atenolol
+    "c1ccccc1",
+]
+
+
+@pytest.mark.parametrize("smiles,family", PAINS_POSITIVE)
+def test_pains_positive(smiles, family):
+    cat = load_pains_catalog()
+    hits = cat.matches(_mol(smiles))
+    assert family in hits, f"{family} not in {hits}"
+
+
+@pytest.mark.parametrize("smiles", PAINS_NEGATIVE)
+def test_pains_negative(smiles):
+    assert not is_pains(_mol(smiles))
+
+
+def test_pains_table_all_compile():
+    for _name, _cls, sm in _PAINS_TABLE:
+        compile_smarts(sm)
+
+
+def test_pains_filters_module_routes_to_catalog():
+    from druggen_tpu.chem.filters import is_pains as filt_is_pains
+    # SMARTS catalogue catches an aryl aldehyde the procedural set misses
+    m = _mol("O=Cc1ccc(N=Nc2ccccc2)cc1")
+    assert filt_is_pains(m)
+
+
+def test_alert_catalog():
+    al = load_alert_catalog()
+    assert al.count(_mol("CCO")) == 0
+    # nitrofurazone-like: nitro + azomethine-hydrazide stack
+    assert al.count(_mol("O=[N+]([O-])c1ccc(C=NNC(N)=O)o1")) >= 2
+    assert "thiol" in al.matches(_mol("CCS"))
+    assert "epoxide" in al.matches(_mol("CC1CO1"))
+    assert "nitro" in al.matches(_mol("C[N+](=O)[O-]"))
+
+
+def test_qed_uses_smarts_alerts():
+    from druggen_tpu.chem.descriptors import count_alerts, qed_properties
+    m = _mol("O=[N+]([O-])c1ccccc1SSC")
+    assert count_alerts(m) >= 2
+    assert qed_properties(m)["ALERTS"] == count_alerts(m)
