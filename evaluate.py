@@ -39,7 +39,7 @@ class MoleculeEvaluator:
     (reference mapper(n_jobs), utils.py:423-449)."""
 
     def __init__(self, gen_smiles, ref_smiles_1, ref_smiles_2=None,
-                 n_jobs: int = 1):
+                 n_jobs: int = 1, chemnet_weights: str | None = None):
         from druggen_tpu.metrics import parallel_map as pm
 
         self.pm = pm
@@ -51,7 +51,17 @@ class MoleculeEvaluator:
         self.gen_valid = [s for s, c in zip(gen_smiles, canon)
                           if c is not None]
         self.gen_mols = [mol_from_smiles(s) for s in self.gen_valid]
-        self.fcd = FCD()
+        # literal FCD when ChemNet weights are supplied (flag or
+        # $DRUGGEN_CHEMNET_WEIGHTS); documented surrogate otherwise
+        featurizer = None
+        if chemnet_weights:
+            from druggen_tpu.metrics.chemnet import ChemNet
+            featurizer = ChemNet.load(chemnet_weights)
+        else:
+            from druggen_tpu.metrics.chemnet import chemnet_from_env
+            featurizer = chemnet_from_env()
+        self.fcd = FCD(featurizer=featurizer)
+        self.fcd_is_literal = featurizer is not None
 
     def basic(self):
         fps = fingerprints_for_smiles(self.gen_valid)
@@ -139,7 +149,8 @@ def read_gen_csv(path: str, smiles_col: str = "SMILES") -> list[str]:
 
 def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
                                   smiles_col="SMILES",
-                                  output_prefix="results", n_jobs: int = 8):
+                                  output_prefix="results", n_jobs: int = 8,
+                                  chemnet_weights: str | None = None):
     gen = read_gen_csv(gen_path, smiles_col)
     ref1 = read_smiles_file(ref_path_1)
     ref2 = read_smiles_file(ref_path_2) if ref_path_2 else None
@@ -149,8 +160,10 @@ def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
         raise ValueError("No SMILES found in reference set 1")
     print(f"Generated: {len(gen)}  Ref1: {len(ref1)}"
           + (f"  Ref2: {len(ref2)}" if ref2 else ""))
-    ev = MoleculeEvaluator(gen, ref1, ref2, n_jobs=n_jobs)
+    ev = MoleculeEvaluator(gen, ref1, ref2, n_jobs=n_jobs,
+                           chemnet_weights=chemnet_weights)
     results = ev.evaluate_all()
+    results["fcd_is_literal"] = ev.fcd_is_literal
     results.update({
         "n_generated": len(gen),
         "n_reference_1": len(ref1),
@@ -178,12 +191,18 @@ def main(argv=None):
                         help="output prefix; a trailing .json/.csv is "
                              "stripped")
     parser.add_argument("--n-jobs", type=int, default=8)
+    parser.add_argument("--chemnet-weights", default=None,
+                        help="path to ChemNet weights (.npz or fcd_torch "
+                             ".pt); when given, FCD is literal ChemNet FCD "
+                             "instead of the surrogate embedder. Also "
+                             "honors $DRUGGEN_CHEMNET_WEIGHTS.")
     args = parser.parse_args(argv)
     evaluate_molecules_from_files(args.gen, args.ref1, args.ref2,
                                   smiles_col=args.smiles_col,
                                   output_prefix=re.sub(
                                       r"\.(json|csv)$", "", args.output),
-                                  n_jobs=args.n_jobs)
+                                  n_jobs=args.n_jobs,
+                                  chemnet_weights=args.chemnet_weights)
     prefix = re.sub(r"\.(json|csv)$", "", args.output)
     print(f"Evaluation complete. Results in {prefix}.json/.csv")
 
