@@ -139,6 +139,19 @@ def generate_corpus(n: int, seed: int = 0) -> list[str]:
         # attach pieces head-to-tail; ring-number collision avoided by
         # renumbering the second ring's digits 1 -> 2
         tail2 = tail.replace("1", "2")
+        # two-level grammar: a ring tail may itself carry a substituent
+        # (ring3-numbered) — expands the unique space to ~1M so corpora
+        # of >=100k molecules are reachable (the one-level space caps out
+        # near 20k)
+        if tail2.endswith("2") and rng.random() < 0.7:
+            linker3 = rng.choice(_LINKERS)
+            tail3 = rng.choice(_ALKYL + [r.replace("1", "3")
+                                         for r in _RINGS])
+            # substitute the ring tail's last-but-one atom (every _RINGS
+            # string ends "<atom-char><digit>"); invalid combinations
+            # (e.g. a branch landing on [nH]) are filtered by the
+            # canonicalizer below
+            tail2 = (tail2[:-2] + "(" + linker3 + tail3 + ")" + tail2[-2:])
         smi = ring[:-1] + "(" + linker + tail2 + ")" + ring[-1]
         if cap:
             smi = cap + smi if not cap[0].isdigit() else smi

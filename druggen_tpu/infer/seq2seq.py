@@ -270,16 +270,79 @@ def corruption_pairs(smiles_list, rng: np.random.Generator,
     return pairs
 
 
+def generator_failure_pairs(node_labels, edge_labels, vocab,
+                            max_pairs: int | None = None
+                            ) -> list[tuple[str, str]]:
+    """(invalid_raw_smiles, repaired_valid_smiles) pairs from *actual*
+    generator outputs.
+
+    The reference's corrector is applied to the raw SMILES the generator
+    writes at inference (inference.py:233, smiles_cor.py:1180-1215).  To
+    train on the same failure distribution, take argmax label matrices
+    whose strict decode fails, write the unsanitized molecule as a (by
+    construction invalid) SMILES string, and use the valence-repaired
+    decode (reference correct_mol semantics, dataset.py:251-277) as the
+    ground-truth correction target."""
+    from druggen_tpu.chem.canon import mol_to_smiles
+    from druggen_tpu.chem.codec import (
+        correct_mol,
+        matrices_to_mol,
+        strip_to_largest_fragment,
+    )
+    from druggen_tpu.chem.smiles import mol_from_smiles
+
+    pairs: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for x_l, a_l in zip(node_labels, edge_labels):
+        if matrices_to_mol(x_l, a_l, vocab, strict=True) is not None:
+            continue                      # decodes fine; nothing to learn
+        raw = matrices_to_mol(x_l, a_l, vocab, strict=False)
+        if raw is None:
+            continue
+        try:
+            src = strip_to_largest_fragment(mol_to_smiles(raw,
+                                                          canonical=False))
+        except Exception:
+            continue
+        if not src or src in seen:
+            continue
+        repaired = correct_mol(matrices_to_mol(x_l, a_l, vocab,
+                                               strict=False))
+        try:
+            repaired.sanitize()
+            tgt = strip_to_largest_fragment(mol_to_smiles(repaired))
+        except Exception:
+            continue
+        m = mol_from_smiles(tgt)
+        if m is None or not tgt:
+            continue
+        try:
+            m.sanitize()
+        except Exception:
+            continue
+        seen.add(src)
+        pairs.append((src, tgt))
+        if max_pairs and len(pairs) >= max_pairs:
+            break
+    return pairs
+
+
 def train_corrector(smiles_list, *, steps: int = 500, batch: int = 32,
                     lr: float = 3e-4, hid: int = 256, heads: int = 8,
                     pf: int = 512, n_layers: int = 3, max_len: int = 202,
-                    seed: int = 0, log_every: int = 100) -> Seq2SeqCorrector:
-    """Train on synthetic corruption pairs; returns the wrapper."""
+                    seed: int = 0, log_every: int = 100,
+                    extra_pairs: list[tuple[str, str]] | None = None
+                    ) -> Seq2SeqCorrector:
+    """Train on corruption pairs: synthetic token edits over
+    ``smiles_list`` plus optional ``extra_pairs`` (e.g. real
+    generator-failure pairs from :func:`generator_failure_pairs`)."""
     import optax
 
     rng = np.random.default_rng(seed)
-    tokenizer = Tokenizer.build(smiles_list)
-    pairs = corruption_pairs(smiles_list, rng)
+    pair_sources = list(extra_pairs or [])
+    tokenizer = Tokenizer.build(
+        smiles_list + [s for p in pair_sources for s in p])
+    pairs = corruption_pairs(smiles_list, rng) + pair_sources
     src = np.stack([tokenizer.encode(c, max_len) for c, _ in pairs])
     tgt = np.stack([tokenizer.encode(g, max_len) for _, g in pairs])
 

@@ -1,21 +1,105 @@
 #!/usr/bin/env python
-"""Train the neural SMILES corrector on a corpus.
+"""Train the neural SMILES corrector.
 
 The reference ships pretrained corrector weights (PAPYRUS_200, downloaded
-by setup.sh); this script trains our JAX re-implementation from scratch on
-synthetic corruption pairs over any SMILES corpus.
+by setup.sh) and applies them to the raw SMILES the generator writes at
+inference (reference inference.py:233, smiles_cor.py:1180-1215).  This
+script trains our JAX re-implementation on two pair sources:
+
+- synthetic token-edit corruption pairs over a SMILES corpus, and
+- **real generator-failure pairs** (--gen-ckpt): argmax outputs of an
+  actual (e.g. early-epoch) generator whose strict decode fails, written
+  as invalid SMILES, with the valence-repaired decode as the target —
+  the same failure distribution the corrector sees in production.
+
+A held-out slice of the failure pairs is used to report the
+corrected-fraction and exact-repair metrics (written to <out>/eval.json).
 
 Usage:
-    python scripts/train_corrector.py --smiles data/chembl_train.smi \\
-        --out experiments/corrector --steps 2000
-    # then: export DRUGGEN_CORRECTOR_CKPT=experiments/corrector
+    python scripts/train_corrector.py --smiles data/chembl_like_150k.smi \\
+        --gen-ckpt experiments/r2_scale/models/1-500-G.ckpt \\
+        --gen-samples 8192 --steps 4000 --out experiments/corrector_r2
+    # then: export DRUGGEN_CORRECTOR_CKPT=experiments/corrector_r2
 """
 
 import argparse
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def mine_failure_pairs(args, corpus):
+    """Run the generator over real graphs, collect strict-decode failures."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from druggen_tpu.chem.vocab import get_vocab
+    from druggen_tpu.data.dataset import featurize_smiles
+    from druggen_tpu.infer.seq2seq import generator_failure_pairs
+    from druggen_tpu.models import Generator
+    from druggen_tpu.train import checkpoint as ckpt
+
+    vocab = get_vocab(args.smiles, args.smiles, args.max_atom,
+                      cache_dir=os.path.join(os.path.dirname(args.smiles)
+                                             or ".", "vocab"))
+    n_in = min(args.gen_samples, len(corpus))
+    data = featurize_smiles(corpus[:n_in], vocab, args.max_atom)
+    G = Generator(act="relu", vertexes=data.x.shape[1], edges=vocab.b_dim,
+                  nodes=vocab.m_dim, dropout=0.0, dim=args.gen_dim,
+                  depth=args.gen_depth, heads=args.gen_heads,
+                  mlp_ratio=args.gen_mlp_ratio)
+    template = G.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, data.x.shape[1], data.x.shape[1],
+                                 vocab.b_dim)),
+                      jnp.zeros((1, data.x.shape[1], vocab.m_dim)))
+    params = ckpt.load_params_auto(args.gen_ckpt, template)
+
+    @jax.jit
+    def fwd(p, a_labels, x_labels):
+        a = jax.nn.one_hot(a_labels, vocab.b_dim)
+        x = jax.nn.one_hot(x_labels, vocab.m_dim)
+        _, _, nl, el = G.apply(p, a, x)
+        return (jnp.argmax(nl, -1).astype(jnp.int32),
+                jnp.argmax(el, -1).astype(jnp.int32))
+
+    nodes, edges = [], []
+    bs = 256
+    for i in range(0, data.x.shape[0] - bs + 1, bs):
+        n, e = fwd(params, jnp.asarray(data.a[i:i + bs]),
+                   jnp.asarray(data.x[i:i + bs]))
+        nodes.append(np.asarray(n))
+        edges.append(np.asarray(e))
+    nodes = np.concatenate(nodes) if nodes else np.zeros((0, 1))
+    edges = np.concatenate(edges) if edges else np.zeros((0, 1, 1))
+    pairs = generator_failure_pairs(nodes, edges, vocab)
+    print(f"mined {len(pairs)} failure pairs from {len(nodes)} generator "
+          f"samples ({len(pairs) / max(len(nodes), 1):.1%} failed strict "
+          f"decode with a repairable target)")
+    return pairs
+
+
+def evaluate_corrector(corrector, holdout_pairs):
+    """Corrected-fraction + exact-repair rate on held-out garbage."""
+    from druggen_tpu.chem.canon import canonical_smiles
+
+    srcs = [s for s, _ in holdout_pairs]
+    tgts = [t for _, t in holdout_pairs]
+    outs = corrector.translate_batch(srcs)
+    n = len(srcs)
+    src_valid = sum(1 for s in srcs if canonical_smiles(s) is not None)
+    corrected = sum(1 for o in outs if o and canonical_smiles(o) is not None)
+    exact = sum(1 for o, t in zip(outs, tgts)
+                if o and canonical_smiles(o) == canonical_smiles(t))
+    return {
+        "n_holdout": n,
+        "validity_before": src_valid / n if n else 0.0,
+        "validity_after": corrected / n if n else 0.0,
+        "exact_repair_rate": exact / n if n else 0.0,
+    }
 
 
 def main():
@@ -29,6 +113,19 @@ def main():
     p.add_argument("--hid", type=int, default=256)
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--platform", default=None)
+    p.add_argument("--corpus-limit", type=int, default=20000,
+                   help="cap on synthetic-pair corpus size")
+    # real generator-failure mining
+    p.add_argument("--gen-ckpt", default=None,
+                   help="path to a generator .ckpt; mines real failure "
+                        "pairs from its argmax outputs")
+    p.add_argument("--gen-samples", type=int, default=8192)
+    p.add_argument("--gen-dim", type=int, default=128)
+    p.add_argument("--gen-depth", type=int, default=1)
+    p.add_argument("--gen-heads", type=int, default=8)
+    p.add_argument("--gen-mlp-ratio", type=int, default=3)
+    p.add_argument("--max-atom", type=int, default=45)
+    p.add_argument("--holdout-frac", type=float, default=0.1)
     args = p.parse_args()
 
     if args.platform:
@@ -39,7 +136,7 @@ def main():
     if args.smiles:
         from druggen_tpu.chem.vocab import read_smiles_file
 
-        corpus = read_smiles_file(args.smiles)
+        corpus = read_smiles_file(args.smiles)[:args.corpus_limit]
     else:
         from druggen_tpu.data.corpus import (
             DRUGLIKE_SMILES,
@@ -49,13 +146,26 @@ def main():
 
         corpus = DRUGLIKE_SMILES + TARGET_SMILES + generate_corpus(400)
 
+    extra_pairs, holdout = [], []
+    if args.gen_ckpt:
+        pairs = mine_failure_pairs(args, corpus)
+        n_hold = max(1, int(len(pairs) * args.holdout_frac))
+        holdout, extra_pairs = pairs[:n_hold], pairs[n_hold:]
+
     from druggen_tpu.infer.seq2seq import train_corrector
 
     corrector = train_corrector(corpus, steps=args.steps, batch=args.batch,
                                 lr=args.lr, hid=args.hid,
-                                n_layers=args.layers, max_len=args.max_len)
+                                n_layers=args.layers, max_len=args.max_len,
+                                extra_pairs=extra_pairs)
     corrector.save(args.out)
     print(f"corrector saved to {args.out}")
+
+    if holdout:
+        metrics = evaluate_corrector(corrector, holdout)
+        print("held-out garbage-set evaluation:", metrics)
+        with open(os.path.join(args.out, "eval.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
     print("enable with: export DRUGGEN_CORRECTOR_CKPT=" + args.out)
 
 
