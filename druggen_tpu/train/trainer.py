@@ -314,7 +314,11 @@ class Trainer:
                                  "g_loss": float(metrics["g_loss"])},
                                 step=step, echo=(it % 50 < K))
 
-                if (it + 1) % cfg.log_sample_step < K:
+                # cadence on the GLOBAL step, not the per-epoch iter: with
+                # fewer steps per epoch than log_sample_step the per-epoch
+                # counter never reaches the threshold and no samples or
+                # mid-run checkpoints would ever be written
+                if step % cfg.log_sample_step < K:
                     # in --features mode x is a dense block; recover atom
                     # labels from the one-hot prefix for the real-side decode
                     x_labels = (np.argmax(x[..., :self.vocab.m_dim], -1)

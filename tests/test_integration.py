@@ -196,3 +196,36 @@ def test_train_cli_mesh_model(workdir, capsys):
     with open(workdir / "logs_tp" / log_files[0]) as f:
         records = [json.loads(line) for line in f if line.strip()]
     assert any("d_loss" in r and math.isfinite(r["d_loss"]) for r in records)
+
+
+def test_sampling_cadence_spans_epochs(tmp_path):
+    """log_sample_step larger than steps-per-epoch must still fire: the
+    cadence runs on the GLOBAL step (regression: the per-epoch iter counter
+    never reached the threshold, so long runs with short epochs wrote no
+    samples or mid-run checkpoints)."""
+    import train as train_cli
+
+    write_corpus(str(tmp_path / "chembl.smi"), DRUGLIKE_SMILES)
+    write_corpus(str(tmp_path / "drugs.smi"), TARGET_SMILES)
+    # 30 mols / batch 8 -> 3 steps per epoch; sample step 7 > 3
+    train_cli.main([
+        "--raw_file", str(tmp_path / "chembl.smi"),
+        "--drug_raw_file", str(tmp_path / "drugs.smi"),
+        "--submodel", "DrugGEN",
+        "--max_atom", "25", "--dim", "16", "--heads", "2",
+        "--batch_size", "8", "--epoch", "4",
+        "--log_sample_step", "7",
+        "--mol_data_dir", str(tmp_path / "cache"),
+        "--drug_data_dir", str(tmp_path / "cache_drug"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--sample_dir", str(tmp_path / "samples"),
+        "--model_save_dir", str(tmp_path / "models"),
+        "--set_seed", "--seed", "7",
+        "--exp_name", "cadence",
+    ])
+    model_root = tmp_path / "models"
+    model_dir = model_root / os.listdir(model_root)[0]
+    periodic = [n for n in os.listdir(model_dir)
+                if n.endswith("-G.ckpt") and n[0].isdigit()]
+    # 4 epochs x 3 steps = 12 global steps -> fires at step 7 (and not 14)
+    assert periodic, "global-step cadence never fired across epochs"
