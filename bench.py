@@ -323,6 +323,12 @@ def main():
                    help="fused edge-tail kernel on the critic's first-order "
                         "passes (GP stays XLA). Default ON: +7.6%% at "
                         "depth 2, neutral at depth 1 (PERF.md)")
+    p.add_argument("--fused-block", action="store_true",
+                   help="v5 megablock kernel (ops/fused_block.py): each "
+                        "encoder block's WHOLE edge stream — attention + "
+                        "LN/MLP tail — in one Pallas residency, on the "
+                        "Generator and the critic's first-order passes "
+                        "(overrides --fused-mlp / --fused-critic)")
     p.add_argument("--scan-layers", action="store_true",
                    help="lax.scan over stacked encoder blocks (depth-"
                         "independent compile time; deep configs)")
@@ -340,6 +346,8 @@ def main():
 
     metric = ("train_molecules_per_second" if args.mode == "train"
               else "infer_molecules_per_second")
+    if args.fused_block:
+        args.fused_mlp = "block"
     try:
         if args.mode == "train":
             state, step, step_args = build(
@@ -347,7 +355,7 @@ def main():
                 args.use_pallas, args.compute_dtype, args.remat,
                 args.fused_mlp, args.gp_mode,
                 False if args.no_share_fake else "auto", args.scan_layers,
-                args.fused_critic)
+                "block" if args.fused_block else args.fused_critic)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
@@ -404,7 +412,7 @@ def main():
             "config": f"N{args.vertexes}_dim{args.dim}_depth{args.depth}"
                       f"_heads{args.heads}_{args.compute_dtype}"
                       f"{'_pallas' if args.use_pallas else ''}"
-                      f"{'_fusedmlp' if args.fused_mlp else ''}"
+                      f"{'_fusedblock' if args.fused_mlp == 'block' else ('_fusedmlp' if args.fused_mlp else '')}"
                       f"{'_fwdrev' if args.gp_mode == 'fwdrev' else ''},"
                       + workload,
         },

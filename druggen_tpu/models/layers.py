@@ -141,7 +141,7 @@ class GraphMHA(nn.Module):
     node_axis: str | None = None
 
     @nn.compact
-    def __call__(self, node, edge):
+    def __call__(self, node, edge, tail=None):
         assert self.dim % self.heads == 0
         assert not (self.use_pallas and self.node_axis), \
             "fused attention kernel does not support the node-sharded mode"
@@ -149,9 +149,32 @@ class GraphMHA(nn.Module):
         h = self.heads
         dk = c // h
 
-        q = _dense(c, c, self.dtype, name="q")(node).reshape(b, n, h, dk)
+        q3 = _dense(c, c, self.dtype, name="q")(node)
+        q = q3.reshape(b, n, h, dk)
         k = _dense(c, c, self.dtype, name="k")(node)
         v = _dense(c, c, self.dtype, name="v")(node)
+
+        if tail is not None:
+            # v5 megablock (ops/fused_block.py): the entire edge stream of
+            # this encoder block — e-projection, modulate, out_e readout,
+            # per-channel softmax aggregation, residual, LN4 -> MLP2 -> LN6
+            # tail — in one Pallas residency.  ``tail`` carries the
+            # EncoderBlock-scope tail parameters.
+            assert self.node_axis is None and not self.use_pallas
+            e_dense = _dense(c, c, self.dtype, name="e")
+            out_e = _dense(c, c, self.dtype, name="out_e")
+            _ = e_dense(edge[:, :1, :1, :])      # create params with the
+            _ = out_e(edge[:, :1, :1, :])        # standard names
+            pe = e_dense.variables["params"]
+            poe = out_e.variables["params"]
+            from druggen_tpu.ops.fused_block import fused_block_edge_stream
+
+            y_out, node_agg = fused_block_edge_stream(
+                q3, k, v, edge,
+                pe["kernel"], pe["bias"], poe["kernel"], poe["bias"],
+                *tail, heads=h)
+            node_out = _dense(c, c, self.dtype, name="out_n")(node_agg)
+            return node_out, y_out
         if self.node_axis:
             k = gather_node_rows(k, self.node_axis)
             v = gather_node_rows(v, self.node_axis)
@@ -223,6 +246,38 @@ class EncoderBlock(nn.Module):
     def __call__(self, x, y, deterministic: bool = True):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x1 = ln("ln1")(x)
+
+        fuse_block = (self.fused_mlp == "block"
+                      and (self.drop_rate == 0.0 or deterministic)
+                      and not self.use_pallas and self.node_axis is None)
+        if fuse_block:
+            # fused_mlp="block": the v5 megablock kernel runs this block's
+            # WHOLE edge stream (attention + tail) in one Pallas residency;
+            # only the small node stream stays on XLA.  Touch the tail
+            # modules on a dummy row so their params keep the standard
+            # names (checkpoint-compatible), then hand raw weights down.
+            ln4 = ln("ln4")
+            ln6 = ln("ln6")
+            mlp2 = MLP(self.dim, self.dim * self.mlp_ratio, self.dim,
+                       self.drop_rate, self.dtype, name="mlp2")
+            dummy = y[:1, :1, :1, :]
+            _ = ln6(ln4(dummy) + mlp2(ln4(dummy), True))
+            p4 = ln4.variables["params"]
+            p6 = ln6.variables["params"]
+            pm = mlp2.variables["params"]
+            tail = (p4["scale"], p4["bias"],
+                    pm["fc1"]["kernel"], pm["fc1"]["bias"],
+                    pm["fc2"]["kernel"], pm["fc2"]["bias"],
+                    p6["scale"], p6["bias"])
+            x2, y = GraphMHA(self.dim, self.heads, self.dtype,
+                             False, None, name="attn")(x1, y, tail=tail)
+            x2 = x1 + x2
+            x2 = ln("ln3")(x2)
+            x = ln("ln5")(x2 + MLP(self.dim, self.dim * self.mlp_ratio,
+                                   self.dim, self.drop_rate, self.dtype,
+                                   name="mlp")(x2, deterministic))
+            return x, y
+
         x2, y1 = GraphMHA(self.dim, self.heads, self.dtype,
                           self.use_pallas, self.node_axis, name="attn")(x1, y)
         x2 = x1 + x2            # residual vs the *normed* input (sic,

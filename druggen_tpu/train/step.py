@@ -120,7 +120,10 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                              rngs={"dropout": rng})
 
     if fused_critic:
-        d_model_first = d_model.clone(fused_mlp=True)
+        # fused_critic=True -> fused edge-tail kernel; "block" -> the v5
+        # megablock kernel (whole edge stream per block, ops/fused_block.py)
+        d_model_first = d_model.clone(
+            fused_mlp="block" if fused_critic == "block" else True)
 
         def d_apply_first(params, rng, e, n):
             return d_model_first.apply(params, e, n, deterministic=False,
