@@ -270,8 +270,52 @@ def corruption_pairs(smiles_list, rng: np.random.Generator,
     return pairs
 
 
+def _repair_to_valid(mol):
+    """Minimal-intervention repair of a failed decode, for use as a
+    correction TARGET: (1) the reference's valence repair (bond removal,
+    dataset.py:251-277), then (2) demote aromatic bonds outside rings to
+    single (the generator's dominant aromatic failure mode), then (3) as a
+    last resort fully de-aromatize.  Returns a sanitized Mol or None."""
+    from druggen_tpu.chem.codec import correct_mol
+    from druggen_tpu.chem.mol import BondType
+
+    def _try(m):
+        try:
+            m.sanitize()
+            return True
+        except Exception:
+            return False
+
+    def _reset(m):
+        m._adj = None
+        m._kekule_double = None
+        m.sanitized = False
+
+    mol = correct_mol(mol, max_steps=4 * len(mol.bonds) + 50)
+    if _try(mol):
+        return mol
+    ring_bonds = {frozenset((r[i], r[(i + 1) % len(r)]))
+                  for r in mol.ring_info() for i in range(len(r))}
+    for b in mol.bonds:
+        if (b.type == BondType.AROMATIC
+                and frozenset((b.a1, b.a2)) not in ring_bonds):
+            b.type = BondType.SINGLE
+    _reset(mol)
+    if _try(mol):
+        return mol
+    for b in mol.bonds:
+        if b.type == BondType.AROMATIC:
+            b.type = BondType.SINGLE
+    for a in mol.atoms:
+        a.aromatic = False
+    _reset(mol)
+    mol = correct_mol(mol, max_steps=4 * len(mol.bonds) + 50)
+    return mol if _try(mol) else None
+
+
 def generator_failure_pairs(node_labels, edge_labels, vocab,
-                            max_pairs: int | None = None
+                            max_pairs: int | None = None,
+                            max_src_tokens: int = 200
                             ) -> list[tuple[str, str]]:
     """(invalid_raw_smiles, repaired_valid_smiles) pairs from *actual*
     generator outputs.
@@ -285,7 +329,6 @@ def generator_failure_pairs(node_labels, edge_labels, vocab,
     ground-truth correction target."""
     from druggen_tpu.chem.canon import mol_to_smiles
     from druggen_tpu.chem.codec import (
-        correct_mol,
         matrices_to_mol,
         strip_to_largest_fragment,
     )
@@ -306,10 +349,17 @@ def generator_failure_pairs(node_labels, edge_labels, vocab,
             continue
         if not src or src in seen:
             continue
-        repaired = correct_mol(matrices_to_mol(x_l, a_l, vocab,
-                                               strict=False))
+        # a seq2seq with max_len ~202 can't learn from fully-dense garbage
+        # graphs whose SMILES blow the context — skip monsters (the
+        # reference's corrector likewise sees only inference-written
+        # near-valid strings, smiles_cor.py:1180-1215)
+        if len(tokenize(src)) > max_src_tokens:
+            continue
+        repaired = _repair_to_valid(matrices_to_mol(x_l, a_l, vocab,
+                                                    strict=False))
+        if repaired is None:
+            continue
         try:
-            repaired.sanitize()
             tgt = strip_to_largest_fragment(mol_to_smiles(repaired))
         except Exception:
             continue

@@ -43,7 +43,10 @@ def mine_failure_pairs(args, corpus):
     from druggen_tpu.models import Generator
     from druggen_tpu.train import checkpoint as ckpt
 
-    vocab = get_vocab(args.smiles, args.smiles, args.max_atom,
+    # the vocab must match the generator checkpoint's training vocab —
+    # build it from the same (raw, drug) file pair
+    vocab = get_vocab(args.smiles, args.drug_smiles or args.smiles,
+                      args.max_atom,
                       cache_dir=os.path.join(os.path.dirname(args.smiles)
                                              or ".", "vocab"))
     n_in = min(args.gen_samples, len(corpus))
@@ -119,6 +122,9 @@ def main():
     p.add_argument("--gen-ckpt", default=None,
                    help="path to a generator .ckpt; mines real failure "
                         "pairs from its argmax outputs")
+    p.add_argument("--drug-smiles", default=None,
+                   help="drug .smi used when training the generator (the "
+                        "vocab is the union of both files)")
     p.add_argument("--gen-samples", type=int, default=8192)
     p.add_argument("--gen-dim", type=int, default=128)
     p.add_argument("--gen-depth", type=int, default=1)
