@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -392,6 +393,20 @@ def main():
                                     args.depth, args.heads)
         if tb:
             vs_baseline = tb / sec
+    elif args.mode == "train":
+        # fall back to the RECORDED torch-CPU baseline (BASELINE_TORCH.json,
+        # measured by a --torch-baseline run) scaled to this batch size, so
+        # vs_baseline is a real ratio instead of a self-referential 1.0
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BASELINE_TORCH.json")) as f:
+                rec = json.load(f)
+            if (args.vertexes == 45 and args.dim == 128
+                    and args.depth == 1 and args.heads == 8):
+                tb = rec["torch_cpu_step_seconds"] * (args.batch / 512.0)
+                vs_baseline = tb / sec
+        except (OSError, KeyError, ValueError):
+            pass
 
     # build() constructs G with dropout=0.0, so share_fake='auto' resolves
     # to True; the label reflects the resolved value, not just the flag.
