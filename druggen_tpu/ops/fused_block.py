@@ -79,7 +79,7 @@ def _ln(x, g, b):
 
 # ================================================================= forward
 
-def _fwd_kernel(inv_sqrt_dk: float, gpb: int,
+def _fwd_kernel(inv_sqrt_dk: float, gpb: int, n_real: int,
                 q_ref, k_ref, v_ref, y_ref,
                 we_ref, be_ref, woe_ref, boe_ref,
                 g4_ref, b4_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -112,8 +112,16 @@ def _fwd_kernel(inv_sqrt_dk: float, gpb: int,
             t.reshape(n * n, d), woe, (((1,), (0,)), ((), ())),
             preferred_element_type=f32).reshape(n, n, d) + boe
 
-        mx = jnp.max(t, axis=1, keepdims=True)
-        ex = jnp.exp(t - mx)
+        # the key axis may be zero-padded to the sublane alignment; padded
+        # keys are excluded from the softmax (n_real is static)
+        if n_real < n:
+            jmask = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n, 1), 1) < n_real
+            t_sm = jnp.where(jmask, t, -1e30)
+        else:
+            t_sm = t
+        mx = jnp.max(t_sm, axis=1, keepdims=True)
+        ex = jnp.exp(t_sm - mx)
         s = ex / jnp.sum(ex, axis=1, keepdims=True)
         node_ref[g] = jnp.sum(s * v[None, :, :], axis=1).astype(
             node_ref.dtype)
@@ -133,7 +141,7 @@ def _fwd_kernel(inv_sqrt_dk: float, gpb: int,
 
 # ================================================================ backward
 
-def _bwd_kernel(inv_sqrt_dk: float, gpb: int, chunk: int,
+def _bwd_kernel(inv_sqrt_dk: float, gpb: int, chunk: int, n_real: int,
                 q_ref, k_ref, v_ref, y_ref,
                 we_ref, be_ref, woe_ref, boe_ref,
                 g4_ref, b4_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -215,8 +223,14 @@ def _bwd_kernel(inv_sqrt_dk: float, gpb: int, chunk: int,
             y1_c = jax.lax.dot_general(
                 t_c.reshape(chunk * n, d), woe, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32).reshape(chunk, n, d) + boe
-            mx = jnp.max(t_c, axis=1, keepdims=True)
-            ex = jnp.exp(t_c - mx)
+            if n_real < n:
+                jmask = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n, 1), 1) < n_real
+                t_sm = jnp.where(jmask, t_c, -1e30)
+            else:
+                t_sm = t_c
+            mx = jnp.max(t_sm, axis=1, keepdims=True)
+            ex = jnp.exp(t_sm - mx)
             ssum = jnp.sum(ex, axis=1, keepdims=True)
             s_c = ex / ssum
 
@@ -340,17 +354,54 @@ def _bwd_kernel(inv_sqrt_dk: float, gpb: int, chunk: int,
 
 def _graphs_per_block(n: int, d: int, itemsize: int) -> int:
     """Pick the graph-tile size: in+out blocks are double-buffered by the
-    Pallas pipeline, intermediates are per-graph (sequential loop)."""
+    Pallas pipeline, intermediates are per-graph (sequential loop).
+
+    $DRUGGEN_FUSED_BLOCK_GPB overrides — the axon relay's remote-compile
+    helper is OOM-killed on the g>=2 unrolled program (PERF.md), while
+    g=1 compiles and runs; on hardware with a local compiler the larger
+    tile is preferred."""
+    import os
+
+    env = os.environ.get("DRUGGEN_FUSED_BLOCK_GPB")
+    if env:
+        return max(1, int(env))
     block_bytes = n * n * d * itemsize * 2 * 2   # in+out, x2 pipeline
     budget = 6 * 1024 * 1024                     # leave ~10MB for temps
     g = max(1, budget // max(block_bytes, 1))
     return int(min(g, 8))
 
 
-def _row_chunk(n: int) -> int:
-    # chunk over query rows in the backward; N<=64 for this model family,
-    # one chunk = whole graph is fine
-    return n
+def _row_chunk(n_pad: int) -> int:
+    """Query-row chunk for the backward: ~15 chunk-sized [CH, N, D] f32
+    intermediates are live at once, so a whole-graph chunk (n=45 ->
+    ~60 MB) blows the 16 MB VMEM budget.  The vertex axis is padded to a
+    multiple of 16 (`_pad_vertices`), so a 16-row chunk both divides it
+    and keeps every dynamic-slice start sublane-aligned (Mosaic requires
+    statically-provable alignment; unaligned starts fail to compile)."""
+    return min(16, n_pad)
+
+
+_VERTEX_ALIGN = 16  # bf16 sublane tile; also satisfies f32's 8
+
+
+def _pad_vertices(q, k, v, y, gy=None, gn=None):
+    """Zero-pad the vertex axes to the sublane alignment.  Padded KEYS are
+    masked out of the softmax inside the kernels (n_real); padded QUERY
+    rows only produce padded outputs, which the callers slice off (their
+    cotangents are correspondingly zero)."""
+    n = q.shape[1]
+    np_ = -(-n // _VERTEX_ALIGN) * _VERTEX_ALIGN
+    if np_ == n:
+        return q, k, v, y, gy, gn
+    p = np_ - n
+    pad3 = ((0, 0), (0, p), (0, 0))
+    q, k, v = (jnp.pad(a, pad3) for a in (q, k, v))
+    y = jnp.pad(y, ((0, 0), (0, p), (0, p), (0, 0)))
+    if gy is not None:
+        gy = jnp.pad(gy, ((0, 0), (0, p), (0, p), (0, 0)))
+    if gn is not None:
+        gn = jnp.pad(gn, pad3)
+    return q, k, v, y, gy, gn
 
 
 def _pad_batch(a, b_pad):
@@ -368,9 +419,11 @@ def _param_spec(shape):
 
 def _run_fwd(q, k, v, y, params, heads: int, interpret: bool):
     (we, be, woe, boe, g4, b4, w1, b1, w2, b2, g6, b6) = params
-    bsz, n, d = q.shape
+    bsz, n_real, d = q.shape
     hid = w1.shape[1]
     inv = 1.0 / math.sqrt(d // heads)
+    q, k, v, y, _, _ = _pad_vertices(q, k, v, y)
+    n = q.shape[1]
     gpb = _graphs_per_block(n, d, jnp.dtype(y.dtype).itemsize)
     bp = -(-bsz // gpb) * gpb
     q, k, v, y = (_pad_batch(a, bp) for a in (q, k, v, y))
@@ -390,7 +443,7 @@ def _run_fwd(q, k, v, y, params, heads: int, interpret: bool):
              b4.reshape(1, d), b1.reshape(1, hid), b2.reshape(1, d),
              g6.reshape(1, d), b6.reshape(1, d)]
     yout, node = pl.pallas_call(
-        functools.partial(_fwd_kernel, inv, gpb),
+        functools.partial(_fwd_kernel, inv, gpb, n_real),
         grid=(bp // gpb,),
         in_specs=[node_spec(), node_spec(), node_spec(), edge_spec(),
                   _param_spec((d, d)), _param_spec((1, d)),
@@ -405,14 +458,16 @@ def _run_fwd(q, k, v, y, params, heads: int, interpret: bool):
         interpret=interpret,
     )(q, k, v, y, we_c, pvecs[0], woe_c, pvecs[1], pvecs[2], pvecs[3],
       w1_c, pvecs[4], w2_c, pvecs[5], pvecs[6], pvecs[7])
-    return yout[:bsz], node[:bsz]
+    return yout[:bsz, :n_real, :n_real], node[:bsz, :n_real]
 
 
 def _run_bwd(q, k, v, y, params, gy, gn, heads: int, interpret: bool):
     (we, be, woe, boe, g4, b4, w1, b1, w2, b2, g6, b6) = params
-    bsz, n, d = q.shape
+    bsz, n_real, d = q.shape
     hid = w1.shape[1]
     inv = 1.0 / math.sqrt(d // heads)
+    q, k, v, y, gy, gn = _pad_vertices(q, k, v, y, gy, gn)
+    n = q.shape[1]
     gpb = _graphs_per_block(n, d, jnp.dtype(y.dtype).itemsize)
     bp = -(-bsz // gpb) * gpb
     q, k, v, y, gy, gn = (_pad_batch(a, bp)
@@ -433,7 +488,7 @@ def _run_bwd(q, k, v, y, params, gy, gn, heads: int, interpret: bool):
              b4.reshape(1, d), b1.reshape(1, hid), b2.reshape(1, d),
              g6.reshape(1, d), b6.reshape(1, d)]
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, inv, gpb, chunk),
+        functools.partial(_bwd_kernel, inv, gpb, chunk, n_real),
         grid=(bp // gpb,),
         in_specs=[node_spec(), node_spec(), node_spec(), edge_spec(),
                   _param_spec((d, d)), _param_spec((1, d)),
@@ -472,7 +527,9 @@ def _run_bwd(q, k, v, y, params, gy, gn, heads: int, interpret: bool):
       pvecs[5], pvecs[6], pvecs[7], gy, gn)
     (dq, dk, dv, dy, dwe, dbe, dwoe, dboe, dg4, db4, dw1, db1, dw2, db2,
      dg6, db6) = outs
-    return (dq[:bsz], dk[:bsz], dv[:bsz], dy[:bsz],
+    dq, dk, dv = (a[:bsz, :n_real] for a in (dq, dk, dv))
+    dy = dy[:bsz, :n_real, :n_real]
+    return (dq, dk, dv, dy,
             dwe.astype(we.dtype), dbe.reshape(d).astype(be.dtype),
             dwoe.astype(woe.dtype), dboe.reshape(d).astype(boe.dtype),
             dg4.reshape(d).astype(g4.dtype), db4.reshape(d).astype(b4.dtype),

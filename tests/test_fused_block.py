@@ -142,3 +142,38 @@ def test_full_train_step_with_block_critic():
         outs["block"]["d_loss"], rel=2e-5)
     assert outs["plain"]["g_loss"] == pytest.approx(
         outs["block"]["g_loss"], rel=2e-5)
+
+
+def test_gradients_multi_chunk_backward():
+    """N=18 -> row chunk 9: the chunked backward (two chunks per graph,
+    VMEM-bounded) must match the oracle like the single-chunk path."""
+    n = 18
+    rng = np.random.default_rng(4)
+
+    def arr(*s, scale=0.2):
+        return jnp.asarray(rng.standard_normal(s) * scale, jnp.float32)
+
+    q, k, v = arr(2, n, D), arr(2, n, D), arr(2, n, D)
+    y = arr(2, n, n, D)
+    params = (arr(D, D), arr(D), arr(D, D), arr(D),
+              jnp.ones(D), arr(D, scale=0.1),
+              arr(D, HID, scale=0.1), arr(HID, scale=0.1),
+              arr(HID, D, scale=0.1), arr(D, scale=0.1),
+              jnp.ones(D), arr(D, scale=0.1))
+    args = (q, k, v, y) + params
+
+    def loss(fn):
+        def inner(*a):
+            yo, na = fn(*a)
+            return jnp.sum(jnp.sin(yo)) + jnp.sum(na * na)
+        return inner
+
+    g_ref = jax.grad(loss(lambda *a: jnp_block_edge_stream(*a, heads=H)),
+                     argnums=tuple(range(16)))(*args)
+    g_fus = jax.grad(loss(lambda *a: fused_block_edge_stream(
+        *a, heads=H, interpret=True)), argnums=tuple(range(16)))(*args)
+    for i, (a, b) in enumerate(zip(g_fus, g_ref)):
+        scale = float(jnp.abs(b).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * scale, rtol=2e-3,
+                                   err_msg=f"grad argnum {i}")
