@@ -360,12 +360,15 @@ def main():
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
-            if args.fused_mlp and args.compute_dtype == "float32":
-                # measured 3.6k vs 10.5k mol/s: the kernel's row tiles are
-                # sized for bf16 (PERF.md); don't let the default hurt f32
+            if (args.fused_mlp and args.compute_dtype == "float32"
+                    and not os.environ.get("DRUGGEN_ALLOW_F32_FUSED")):
+                # round 1 measured 3.6k vs 10.5k mol/s with bf16-sized
+                # tiles; the tiles are dtype-aware now
+                # (fused_mlp._tile_rows) — set DRUGGEN_ALLOW_F32_FUSED=1
+                # to measure the f32 kernel path
                 import sys
                 print("note: disabling fused_mlp for float32 inference "
-                      "(kernel tiles are bf16-sized; see PERF.md)",
+                      "(set DRUGGEN_ALLOW_F32_FUSED=1 to keep it)",
                       file=sys.stderr)
                 args.fused_mlp = False
             params, fwd, fwd_args = build_infer(

@@ -73,6 +73,11 @@ class TrainConfig:
     # (Generator only; first-order AD — see druggen_tpu/ops/fused_mlp.py)
     fused_critic: bool = False           # fused edge-tail kernel on the
     # critic's first-order passes too (GP pass stays XLA; depth>1 payoff)
+    fused_block: bool = False            # v5 megablock kernel: each
+    # encoder block's WHOLE edge stream in one Pallas residency
+    # (ops/fused_block.py) on the Generator + the critic's first-order
+    # passes.  Measured SLOWER than fused_mlp+fused_critic on the v5e
+    # relay chip (PERF.md) — available for other hardware / future tiles.
     scan_layers: bool = False            # lax.scan over stacked encoder
     # blocks: depth-independent compile time/program size (deep configs)
     gp_mode: str = "revrev"              # gradient-penalty AD structure:

@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
-_TILE = 256  # rows per grid step
+def _tile_rows(dtype) -> int:
+    """Rows per grid step.  256 rows suits bf16 (16-sublane tiles); f32
+    doubles the per-row bytes, so halve the tile to keep the same VMEM
+    footprint and twice the grid-level pipelining (round-1's f32 slowdown
+    came from running f32 through bf16-sized tiles)."""
+    return 256 if jnp.dtype(dtype).itemsize == 2 else 128
 
 
 def _ln_fwd(s, gamma, beta):
@@ -151,8 +156,8 @@ def _bwd_kernel(s_ref, g1_ref, bl1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dbl2_ref[:] += dbl2_t
 
 
-def _row_spec(c):
-    return pl.BlockSpec((_TILE, c), lambda i: (i, 0),
+def _row_spec(c, tile):
+    return pl.BlockSpec((tile, c), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -172,7 +177,8 @@ def _pad_rows(a, rows_padded):
 def _fwd_pallas(s, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret: bool):
     rows, c = s.shape
     hid = w1.shape[1]
-    rp = -(-rows // _TILE) * _TILE
+    tile = _tile_rows(s.dtype)
+    rp = -(-rows // tile) * tile
     sp = _pad_rows(s, rp)
     w1, w2 = w1.astype(s.dtype), w2.astype(s.dtype)  # keep the MXU in
     # the stream's compute dtype (bf16 weights for a bf16 stream)
@@ -181,12 +187,12 @@ def _fwd_pallas(s, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret: bool):
     b1r, b2r = b1.reshape(1, hid), b2.reshape(1, c)
     out = pl.pallas_call(
         _fwd_kernel,
-        grid=(rp // _TILE,),
-        in_specs=[_row_spec(c), _param_spec((1, c)), _param_spec((1, c)),
+        grid=(rp // tile,),
+        in_specs=[_row_spec(c, tile), _param_spec((1, c)), _param_spec((1, c)),
                   _param_spec((c, hid)), _param_spec((1, hid)),
                   _param_spec((hid, c)), _param_spec((1, c)),
                   _param_spec((1, c)), _param_spec((1, c))],
-        out_specs=_row_spec(c),
+        out_specs=_row_spec(c, tile),
         out_shape=jax.ShapeDtypeStruct((rp, c), s.dtype),
         interpret=interpret,
     )(sp, g1r, bl1r, w1, b1r, w2, b2r, g2r, bl2r)
@@ -196,7 +202,8 @@ def _fwd_pallas(s, g1, bl1, w1, b1, w2, b2, g2, bl2, interpret: bool):
 def _bwd_pallas(s, g1, bl1, w1, b1, w2, b2, g2, bl2, dout, interpret: bool):
     rows, c = s.shape
     hid = w1.shape[1]
-    rp = -(-rows // _TILE) * _TILE
+    tile = _tile_rows(s.dtype)
+    rp = -(-rows // tile) * tile
     sp = _pad_rows(s, rp)
     doutp = _pad_rows(dout, rp)
     w1_dt, w2_dt = w1.dtype, w2.dtype
@@ -207,14 +214,14 @@ def _bwd_pallas(s, g1, bl1, w1, b1, w2, b2, g2, bl2, dout, interpret: bool):
     f32 = jnp.float32
     outs = pl.pallas_call(
         _bwd_kernel,
-        grid=(rp // _TILE,),
-        in_specs=[_row_spec(c)] + [_param_spec((1, c)), _param_spec((1, c)),
+        grid=(rp // tile,),
+        in_specs=[_row_spec(c, tile)] + [_param_spec((1, c)), _param_spec((1, c)),
                                    _param_spec((c, hid)),
                                    _param_spec((1, hid)),
                                    _param_spec((hid, c)), _param_spec((1, c)),
                                    _param_spec((1, c)), _param_spec((1, c))]
-        + [_row_spec(c)],
-        out_specs=[_row_spec(c),
+        + [_row_spec(c, tile)],
+        out_specs=[_row_spec(c, tile),
                    _param_spec((1, c)), _param_spec((1, c)),
                    _param_spec((c, hid)), _param_spec((1, hid)),
                    _param_spec((hid, c)), _param_spec((1, c)),

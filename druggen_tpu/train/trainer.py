@@ -119,9 +119,14 @@ class Trainer:
         # D, and custom_vjp kernels do not support second-order AD (see
         # druggen_tpu/ops/fused_attention.py docstring)
         scan_layers = getattr(cfg, "scan_layers", False)
+        # --fused_block routes each encoder block's whole edge stream
+        # through the v5 megablock kernel (fused_mlp="block"); the critic's
+        # first-order passes follow suit via fused_critic="block" below
+        fused_mlp = ("block" if getattr(cfg, "fused_block", False)
+                     else getattr(cfg, "fused_mlp", False))
         self.G = Generator(dropout=cfg.dropout, depth=cfg.depth,
                            use_pallas=cfg.use_pallas,
-                           fused_mlp=getattr(cfg, "fused_mlp", False),
+                           fused_mlp=fused_mlp,
                            scan_layers=scan_layers, **common)
         self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth,
                                use_pallas=False, scan_layers=scan_layers,
@@ -178,7 +183,9 @@ class Trainer:
                            compute_dtype=self.compute_dtype,
                            node_mode="dense" if cfg.features else "labels",
                            gp_mode=getattr(cfg, "gp_mode", "revrev"),
-                           fused_critic=getattr(cfg, "fused_critic", False))
+                           fused_critic=("block" if getattr(
+                               cfg, "fused_block", False)
+                               else getattr(cfg, "fused_critic", False)))
         self.multi_step_fn = None
         if self.node_k > 1:
             # full WGAN-GP step under shard_map on ('data','node'); the
