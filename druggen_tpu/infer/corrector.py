@@ -35,11 +35,30 @@ class SmilesCorrector:
 
     @classmethod
     def default(cls, out_dir: str | None = None) -> "SmilesCorrector":
-        """Rule-based pipeline; attaches the neural corrector when a trained
-        checkpoint exists at $DRUGGEN_CORRECTOR_CKPT."""
+        """Rule-based pipeline; attaches a neural corrector when one is
+        configured:
+
+        - ``$DRUGGEN_CORRECTOR_CKPT`` — a Seq2SeqCorrector trained by
+          ``scripts/train_corrector.py``;
+        - ``$DRUGGEN_REFERENCE_CORRECTOR`` —
+          ``model.pkg:src_vocab.pth:trg_vocab.pth`` paths of the
+          reference's released corrector (e.g. PAPYRUS_200), run through
+          the weight-compatible re-implementation
+          (interop/corrector_ckpt.ReferenceCorrector)."""
         neural = None
+        ref_spec = os.environ.get("DRUGGEN_REFERENCE_CORRECTOR", "")
         ckpt_path = os.environ.get("DRUGGEN_CORRECTOR_CKPT", "")
-        if ckpt_path and os.path.exists(ckpt_path):
+        if ref_spec:
+            try:
+                from druggen_tpu.interop.corrector_ckpt import (
+                    ReferenceCorrector,
+                )
+
+                neural = ReferenceCorrector.load(*ref_spec.split(":"))
+            except Exception as e:
+                print(f"reference corrector unavailable ({e}); "
+                      "falling back")
+        if neural is None and ckpt_path and os.path.exists(ckpt_path):
             try:
                 from druggen_tpu.infer.seq2seq import Seq2SeqCorrector
 
@@ -61,8 +80,13 @@ class SmilesCorrector:
             else:
                 invalid.append(s)
         if self.neural is not None and invalid:
-            for s in invalid:
-                fixed = self.neural.translate(s)
+            # one compiled batch when the corrector supports it (both
+            # Seq2SeqCorrector and ReferenceCorrector do)
+            if hasattr(self.neural, "translate_batch"):
+                fixes = self.neural.translate_batch(invalid)
+            else:
+                fixes = [self.neural.translate(s) for s in invalid]
+            for fixed in fixes:
                 if fixed and mol_from_smiles(fixed) is not None:
                     valid.append(fixed)
 
