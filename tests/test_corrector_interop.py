@@ -198,3 +198,42 @@ def test_decode_tokens_reversed():
     ids = [4, 5, 6, s2s.EOS, 4]          # C O N <eos> (then junk)
     assert s2s.decode_tokens(ids, itos, reverse=True) == "NOC"
     assert s2s.decode_tokens(ids, itos, reverse=False) == "CON"
+
+
+def test_smiles_corrector_env_selection(tmp_path, monkeypatch):
+    """SmilesCorrector.default picks up $DRUGGEN_REFERENCE_CORRECTOR
+    (model.pkg:src.pth:trg.pth) and routes invalid SMILES through it."""
+    torch.manual_seed(2)
+    model = _RefModel().eval()
+    pkg = str(tmp_path / "m.pkg")
+    torch.save(model.state_dict(), pkg)
+    install_torchtext_shim()
+    import torchtext.vocab as tv
+    from collections import Counter, defaultdict
+
+    itos = ["<unk>", "<pad>", "<sos>", "<eos>"] + list("Cc1()O=N")
+    itos = itos + ["X"] * (VOC - len(itos))
+
+    def mkvocab(path):
+        v = tv.Vocab.__new__(tv.Vocab)
+        v.__dict__.update({"freqs": Counter(), "itos": itos,
+                           "stoi": defaultdict(tv._default_unk_index,
+                                               {s: i for i, s in
+                                                enumerate(itos)}),
+                           "vectors": None})
+        torch.save(v, path)
+        return path
+
+    spec = ":".join([pkg, mkvocab(str(tmp_path / "s.pth")),
+                     mkvocab(str(tmp_path / "t.pth"))])
+    monkeypatch.setenv("DRUGGEN_REFERENCE_CORRECTOR", spec)
+    monkeypatch.delenv("DRUGGEN_CORRECTOR_CKPT", raising=False)
+    from druggen_tpu.infer.corrector import SmilesCorrector
+
+    corr = SmilesCorrector.default()
+    from druggen_tpu.interop.corrector_ckpt import ReferenceCorrector
+    assert isinstance(corr.neural, ReferenceCorrector)
+    # valid SMILES pass through; the invalid one goes through the (random
+    # weight) corrector without crashing
+    out = corr.correct(["CCO", "CC(("])
+    assert "CCO" in out
