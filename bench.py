@@ -27,7 +27,7 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
           use_pallas: bool, compute_dtype: str, remat: bool = False,
           fused_mlp: bool = False, gp_mode: str = "revrev",
           share_fake="auto", scan_layers: bool = False,
-          fused_critic: bool = False):
+          fused_critic: bool = False, split_step: bool = False):
     import numpy as np
 
     import jax
@@ -61,10 +61,19 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
     mesh = make_mesh()
     state = shard_state(mesh, init_state(
         g, d, g_opt, d_opt, jax.random.PRNGKey(0), vertexes, m_dim, b_dim))
-    step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim,
-                           b_dim=b_dim, submodel="DrugGEN",
-                           compute_dtype=cdtype, gp_mode=gp_mode,
-                           share_fake=share_fake, fused_critic=fused_critic)
+    if split_step:
+        from druggen_tpu.train.step import make_split_train_step
+
+        step = make_split_train_step(
+            g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim, b_dim=b_dim,
+            submodel="DrugGEN", compute_dtype=cdtype, gp_mode=gp_mode,
+            fused_critic=fused_critic)
+    else:
+        step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                               m_dim=m_dim, b_dim=b_dim, submodel="DrugGEN",
+                               compute_dtype=cdtype, gp_mode=gp_mode,
+                               share_fake=share_fake,
+                               fused_critic=fused_critic)
 
     rng = np.random.default_rng(0)
     x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
@@ -330,6 +339,10 @@ def main():
                         "LN/MLP tail — in one Pallas residency, on the "
                         "Generator and the critic's first-order passes "
                         "(overrides --fused-mlp / --fused-critic)")
+    p.add_argument("--split-step", action="store_true",
+                   help="two compiled programs per iteration (D update "
+                        "incl. GP, then G update) — the deep-config "
+                        "compile workaround; costs one extra dispatch")
     p.add_argument("--scan-layers", action="store_true",
                    help="lax.scan over stacked encoder blocks (depth-"
                         "independent compile time; deep configs)")
@@ -356,7 +369,8 @@ def main():
                 args.use_pallas, args.compute_dtype, args.remat,
                 args.fused_mlp, args.gp_mode,
                 False if args.no_share_fake else "auto", args.scan_layers,
-                "block" if args.fused_block else args.fused_critic)
+                "block" if args.fused_block else args.fused_critic,
+                args.split_step)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
@@ -413,7 +427,8 @@ def main():
 
     # build() constructs G with dropout=0.0, so share_fake='auto' resolves
     # to True; the label reflects the resolved value, not just the flag.
-    share_fake_resolved = not args.no_share_fake
+    # split_step cannot share across programs -> always 2 G forwards.
+    share_fake_resolved = not args.no_share_fake and not args.split_step
     g_fwds = "1 shared G fwd" if share_fake_resolved else "2 G fwd"
     workload = (f"full WGAN-GP step ({g_fwds}, 4 D fwd, double bwd)"
                 if args.mode == "train"

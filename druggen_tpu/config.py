@@ -98,6 +98,11 @@ class TrainConfig:
     # train.py:213-214 uses torch.optim.AdamW default weight_decay)
     steps_per_dispatch: int = 1          # >1: lax.scan K train steps per
     # host dispatch (hides host/relay latency; metrics logged per chunk)
+    split_step: bool = False             # split the iteration into two
+    # compiled programs (D update incl. GP, then G update) — halves program
+    # size so DEEP unrolled configs get through compilers that reject the
+    # single-jit program (the relay's depth>=4 limit, PERF.md); costs one
+    # extra dispatch + a repeated G forward (the reference's own structure)
     distributed: bool = False            # multi-host: jax.distributed.init
     coordinator_address: str = ""        # optional explicit coordinator
     num_processes: int = 0               # 0 => env-based discovery

@@ -212,6 +212,118 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
+                          lambda_gp: float, m_dim: int, b_dim: int,
+                          submodel: str = "DrugGEN",
+                          compute_dtype=jnp.float32,
+                          node_mode: str = "labels",
+                          gp_mode: str = "revrev",
+                          fused_critic: bool = False):
+    """The single-jit iteration split into TWO compiled programs (D update
+    incl. the GP double-backward; then G update) with the same
+    step(state, key, x, a, dx, da) contract.
+
+    Rationale: the relay's remote compiler rejects very large programs
+    (deep unrolled configs, PERF.md "Deep-configuration status"); halving
+    the program gets deeper stacks through.  Costs one extra host dispatch
+    per iteration and re-runs the G forward in the G program (exactly the
+    reference's own structure, train.py:352-384; `share_fake` cannot span
+    programs).  Opt-in via --split_step."""
+
+    def g_apply(params, rng, e, n):
+        return g_model.apply(params, e, n, deterministic=False,
+                             rngs={"dropout": rng})
+
+    if fused_critic:
+        d_model_first = d_model.clone(
+            fused_mlp="block" if fused_critic == "block" else True)
+    else:
+        d_model_first = d_model
+
+    def d_apply_first(params, rng, e, n):
+        return d_model_first.apply(params, e, n, deterministic=False,
+                                   rngs={"dropout": rng})
+
+    def d_apply_gp(params, rng, e, n):
+        return d_model.apply(params, e, n, deterministic=False,
+                             rngs={"dropout": rng})
+
+    def _one_hot_inputs(x_labels, a_labels, drug_x_labels, drug_a_labels):
+        if node_mode == "dense":
+            x = x_labels.astype(compute_dtype)
+        else:
+            x = jax.nn.one_hot(x_labels, m_dim, dtype=compute_dtype)
+        a = jax.nn.one_hot(a_labels, b_dim, dtype=compute_dtype)
+        if submodel == "NoTarget":
+            return x, a, x, a
+        if node_mode == "dense":
+            disc_x = drug_x_labels.astype(compute_dtype)
+        else:
+            disc_x = jax.nn.one_hot(drug_x_labels, m_dim,
+                                    dtype=compute_dtype)
+        disc_a = jax.nn.one_hot(drug_a_labels, b_dim, dtype=compute_dtype)
+        return x, a, disc_x, disc_a
+
+    @jax.jit
+    def d_step(state: GANState, key, x_labels, a_labels,
+               drug_x_labels, drug_a_labels):
+        step_key = jax.random.fold_in(key, state.step)
+        k_gp, k_gdrop, k_ddrop, _, _ = jax.random.split(step_key, 5)
+        x, a, disc_x, disc_a = _one_hot_inputs(
+            x_labels, a_labels, drug_x_labels, drug_a_labels)
+        generator_for_d = partial(g_apply, state.g_params, k_gdrop)
+
+        def d_loss_fn(d_params):
+            critic = partial(d_apply_first, d_params, k_ddrop)
+            critic_gp = partial(d_apply_gp, d_params, k_ddrop)
+            return discriminator_loss(generator_for_d, critic, disc_a,
+                                      disc_x, a, x, lambda_gp, k_gp,
+                                      gp_mode, critic_gp)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
+                                              state.d_params)
+        return (optax.apply_updates(state.d_params, d_updates),
+                d_opt_state, d_loss)
+
+    @jax.jit
+    def g_step(state: GANState, key, x_labels, a_labels):
+        step_key = jax.random.fold_in(key, state.step)
+        _, _, _, k_gdrop2, k_ddrop2 = jax.random.split(step_key, 5)
+        if node_mode == "dense":
+            x = x_labels.astype(compute_dtype)
+        else:
+            x = jax.nn.one_hot(x_labels, m_dim, dtype=compute_dtype)
+        a = jax.nn.one_hot(a_labels, b_dim, dtype=compute_dtype)
+
+        def g_loss_fn(g_params):
+            critic = partial(d_apply_first, state.d_params, k_ddrop2)
+            generator = partial(g_apply, g_params, k_gdrop2)
+            return generator_loss(generator, critic, a, x)
+
+        (g_loss, outs), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        _, _, node_logits, edge_logits = outs
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state,
+                                              state.g_params)
+        return (optax.apply_updates(state.g_params, g_updates),
+                g_opt_state, g_loss, node_logits, edge_logits)
+
+    def step_fn(state: GANState, key, x_labels, a_labels,
+                drug_x_labels, drug_a_labels):
+        d_params, d_opt_state, d_loss = d_step(
+            state, key, x_labels, a_labels, drug_x_labels, drug_a_labels)
+        mid = state._replace(d_params=d_params, d_opt_state=d_opt_state)
+        g_params, g_opt_state, g_loss, node_logits, edge_logits = g_step(
+            mid, key, x_labels, a_labels)
+        new_state = GANState(g_params, d_params, g_opt_state, d_opt_state,
+                             state.step + 1)
+        return (new_state, {"d_loss": d_loss, "g_loss": g_loss},
+                (node_logits, edge_logits))
+
+    return step_fn
+
+
 def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,

@@ -197,6 +197,14 @@ class Trainer:
                 submodel=cfg.submodel, compute_dtype=self.compute_dtype)
             if cfg.steps_per_dispatch > 1:
                 print("mesh_node > 1: steps_per_dispatch ignored")
+        elif getattr(cfg, "split_step", False):
+            from druggen_tpu.train.step import make_split_train_step
+
+            kw = {k: v for k, v in step_kwargs.items()}
+            self.step_fn = make_split_train_step(
+                self.G, self.D, self.g_opt, self.d_opt, **kw)
+            if cfg.steps_per_dispatch > 1:
+                print("split_step: steps_per_dispatch ignored")
         else:
             self.step_fn = make_train_step(self.G, self.D, self.g_opt,
                                            self.d_opt, **step_kwargs)

@@ -375,3 +375,51 @@ def test_train_step_fused_critic_agrees():
                       jax.tree_util.tree_leaves(outs[True][0].d_params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_split_step_matches_single_jit():
+    """make_split_train_step (two compiled programs, the deep-config
+    compile workaround) must reproduce the single-jit step exactly
+    (same per-step RNG derivation, share_fake disabled for comparison)."""
+    import numpy as np
+
+    from druggen_tpu.config import TrainConfig
+    from druggen_tpu.models import Discriminator, Generator
+    from druggen_tpu.train.step import (
+        init_state,
+        make_optimizers,
+        make_split_train_step,
+        make_train_step,
+    )
+
+    m_dim, b_dim, n, dim = 5, 4, 9, 16
+    kw = dict(act="relu", vertexes=n, edges=b_dim, nodes=m_dim, dropout=0.0,
+              dim=dim, depth=1, heads=4, mlp_ratio=2)
+    g, d = Generator(**kw), Discriminator(**kw)
+    cfg = TrainConfig(raw_file="x", drug_raw_file="y", batch_size=4,
+                      max_atom=n, dim=dim, heads=4, mlp_ratio=2)
+    g_opt, d_opt = make_optimizers(cfg)
+    state0 = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(0), n,
+                        m_dim, b_dim)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, m_dim, (4, n)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, b_dim, (4, n, n)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    key = jax.random.PRNGKey(3)
+
+    single = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                             m_dim=m_dim, b_dim=b_dim, donate=False,
+                             share_fake=False)
+    split = make_split_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
+                                  m_dim=m_dim, b_dim=b_dim)
+    s1, m1, (nl1, el1) = single(state0, key, x, a, x, a)
+    s2, m2, (nl2, el2) = split(state0, key, x, a, x, a)
+    assert float(m1["d_loss"]) == pytest.approx(float(m2["d_loss"]),
+                                                rel=1e-6)
+    assert float(m1["g_loss"]) == pytest.approx(float(m2["g_loss"]),
+                                                rel=1e-6)
+    for p1, p2 in zip(jax.tree_util.tree_leaves(s1.g_params),
+                      jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   atol=1e-7)
+    np.testing.assert_allclose(np.asarray(nl1), np.asarray(nl2), atol=1e-5)
