@@ -662,6 +662,15 @@ class SmartsPattern:
         # _extend's base case chains on to the remaining components
         return self._extend(feats, order, 1, {0: root}, 0)
 
+    def matching_atoms(self, mol_or_feats) -> list[int]:
+        """Molecule atoms that anchor a match with the pattern's FIRST
+        parsed atom (RDKit ``GetSubstructMatches`` first-column analogue;
+        for single-atom patterns this is exactly the matching atom set)."""
+        feats = (mol_or_feats if isinstance(mol_or_feats, MolFeatures)
+                 else MolFeatures(mol_or_feats))
+        return [i for i in range(feats.mol.num_atoms())
+                if self._matches_rooted(feats, i)]
+
     def __repr__(self):
         return f"SmartsPattern({self.smarts!r})"
 

@@ -199,3 +199,52 @@ def test_qed_uses_smarts_alerts():
     m = _mol("O=[N+]([O-])c1ccccc1SSC")
     assert count_alerts(m) >= 2
     assert qed_properties(m)["ALERTS"] == count_alerts(m)
+
+
+# ------------------------------------------------- cross-validation layer
+# The SMARTS engine and the procedural descriptor functions are
+# independent implementations of overlapping chemistry; on a diverse
+# corpus they must agree exactly.
+
+def _corpus():
+    from druggen_tpu.data.corpus import DRUGLIKE_SMILES, generate_corpus
+
+    return DRUGLIKE_SMILES + generate_corpus(150, seed=9)
+
+
+def test_smarts_vs_descriptors_h_acceptors():
+    from druggen_tpu.chem.descriptors import num_h_acceptors
+
+    pat = compile_smarts("[#7,#8]")
+    for smi in _corpus():
+        m = _mol(smi)
+        assert len(pat.matching_atoms(m)) == num_h_acceptors(m), smi
+
+
+def test_smarts_vs_descriptors_h_donors():
+    from druggen_tpu.chem.descriptors import num_h_donors
+
+    pat = compile_smarts("[#7,#8;!H0]")
+    for smi in _corpus():
+        m = _mol(smi)
+        assert len(pat.matching_atoms(m)) == num_h_donors(m), smi
+
+
+def test_smarts_vs_ring_info():
+    pat = compile_smarts("[R]")
+    for smi in _corpus():
+        m = _mol(smi)
+        from druggen_tpu.chem.smarts import MolFeatures
+
+        feats = MolFeatures(m)
+        expected = {i for i in range(m.num_atoms())
+                    if feats.ring_count(i) > 0}
+        assert set(pat.matching_atoms(feats)) == expected, smi
+
+
+def test_smarts_vs_aromatic_flags():
+    pat = compile_smarts("a")
+    for smi in _corpus():
+        m = _mol(smi)
+        expected = {i for i, a in enumerate(m.atoms) if a.aromatic}
+        assert set(pat.matching_atoms(m)) == expected, smi
