@@ -136,6 +136,32 @@ _PAINS_TABLE: tuple[tuple[str, str, str], ...] = (
     ("vinyl_sulfone_C", "C",
      "[CX3]=[CX3][SX4](=[OX1])(=[OX1])[#6]"),
     ("hydroxamic_C", "C", "[CX3](=[OX1])[NX3][OX2H1]"),
+    # ---------------- additional B/C families (round-2 expansion) -------
+    ("thio_urea_B", "B", "[NX3][CX3](=[SX1])[NX3]"),
+    ("thio_amide_B", "B", "[#6][CX3](=[SX1])[NX3]"),
+    ("dithiocarbamate_B", "B", "[NX3][CX3](=[SX1])[SX2]"),
+    ("het_thio_aminothiophene_B", "B",
+     "[NX3H2]c1sccc1[CX2]#[NX1]"),
+    ("naphth_amino_B", "B", "[NX3H2]c1ccc2ccccc2c1"),
+    ("quinone_methide_B", "B", "[CX3]=C1C=CC(=[OX1])C=C1"),
+    ("bis_imine_B", "B", "[NX2]=[CX3H1][CX3H1]=[NX2]"),
+    ("phenothiazine_B", "B", "c1ccc2c(c1)Sc1ccccc1N2"),
+    ("benzofurazan_B", "B", "c1ccc2nonc2c1"),
+    ("isothiazolone_B", "B", "[OX1]=C1[CX3]=[CX3][SX2][NX3]1"),
+    ("barbiturate_sat_C", "C",
+     "[OX1]=C1[NX3]C(=[OX1])[NX3]C(=[OX1])[CX4]1"),
+    ("maleic_anhydride_C", "C",
+     "[OX1]=C1[OX2]C(=[OX1])[CX3]=[CX3]1"),
+    ("fulvene_C", "C", "[CX3]=C1[CX3]=[CX3][CX3]=[CX3]1"),
+    ("tropone_C", "C", "[OX1]=C1C=CC=CC=C1"),
+    ("xanthene_core_C", "C", "C1c2ccccc2Oc2ccccc21"),
+    ("acyl_pyrazole_C", "C",
+     "[CX3](=[OX1])n1nccc1"),
+    ("imine_imine_thio_C", "C", "[SX2][CX3]=[NX2][NX2]=[CX3]"),
+    ("polysulfide_C", "C", "[SX2][SX2][SX2]"),
+    ("aldehyde_enol_C", "C", "[OX2H1][CX3]=[CX3H1]"),
+    ("nitro_furan_C", "C", "[NX3+](=[OX1])([OX1-])c1ccco1"),
+    ("nitro_thiophene_C", "C", "[NX3+](=[OX1])([OX1-])c1cccs1"),
 )
 
 
