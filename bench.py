@@ -309,7 +309,9 @@ def main():
     # sweep: bf16 halves the HBM traffic of this bandwidth-bound step and
     # batch 512 amortizes dispatch); model shape stays the reference
     # default (N=45, dim 128, depth 1, heads 8 — train.py:410-433).
-    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--batch", type=int, default=768,
+                   help="768 measured best twice across sessions (5,314 "
+                        "r1 / 5,310 r2 mol/s vs ~5,25x at 512; PERF.md)")
     p.add_argument("--vertexes", type=int, default=45)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--depth", type=int, default=1)
@@ -420,6 +422,8 @@ def main():
                 rec = json.load(f)
             if (args.vertexes == 45 and args.dim == 128
                     and args.depth == 1 and args.heads == 8):
+                # linear batch scaling of the recorded batch-512 torch time
+                # (the torch step is bandwidth/compute linear in B)
                 tb = rec["torch_cpu_step_seconds"] * (args.batch / 512.0)
                 vs_baseline = tb / sec
         except (OSError, KeyError, ValueError):
