@@ -107,6 +107,17 @@ class TrainConfig:
     coordinator_address: str = ""        # optional explicit coordinator
     num_processes: int = 0               # 0 => env-based discovery
     process_id: int = -1                 # -1 => env-based discovery
+    log_flush_steps: int = 16            # hard-sync + write buffered loss
+    # rows every N dispatches.  JAX dispatch is asynchronous; fetching a
+    # loss value every step (the reference prints per-iteration,
+    # train.py:318) serializes the host against the device and through a
+    # remote-attached TPU costs a full round-trip per step.  Buffering the
+    # device scalars and fetching every N bounds the in-flight queue
+    # (remote relays cap ~20 queued executions) while keeping the JSONL
+    # per-step rows identical.  1 restores the reference's per-step sync.
+    prefetch_depth: int = 2              # host-side batch prefetch queue
+    # depth (background thread slices the next batches while the device
+    # runs); 0 disables the thread
 
     @property
     def run_name(self) -> str:

@@ -260,6 +260,40 @@ class Trainer:
                 f.write(f"Total number of parameters: {n_params}\n")
 
     # ------------------------------------------------------------------
+    def _work_items(self, mol_iter, drug_iter, K: int):
+        """Per-dispatch work stream: ``(epoch, it_after, n_steps, arrays,
+        multi)``.  All host-side batch assembly (slicing, K-stacking) lives
+        here so a prefetch thread can overlap it with device execution."""
+        for epoch in range(self.cfg.epoch):
+            batch_stream = mol_iter.epoch_batches(epoch)
+            it = -1
+            for x, a in batch_stream:
+                dx, da = next(drug_iter)
+                if K > 1:
+                    xs, as_, dxs, das = [x], [a], [dx], [da]
+                    for _ in range(K - 1):
+                        nxt = next(batch_stream, None)
+                        if nxt is None:
+                            break
+                        xs.append(nxt[0])
+                        as_.append(nxt[1])
+                        d2 = next(drug_iter)
+                        dxs.append(d2[0])
+                        das.append(d2[1])
+                    if len(xs) == K:
+                        stack = tuple(np.stack(arr)
+                                      for arr in (xs, as_, dxs, das))
+                        it += len(xs)
+                        yield epoch, it, len(xs), stack, True
+                    else:
+                        # tail smaller than K: single steps
+                        for xt, at, dxt, dat in zip(xs, as_, dxs, das):
+                            it += 1
+                            yield epoch, it, 1, (xt, at, dxt, dat), False
+                else:
+                    it += 1
+                    yield epoch, it, 1, (x, a, dx, da), False
+
     def train(self) -> GANState:
         cfg = self.cfg
         mol_iter = BatchIterator(self.data, cfg.batch_size, seed=cfg.seed,
@@ -283,77 +317,81 @@ class Trainer:
         print(f"Start training... ({len(self.data)} mols, "
               f"{len(self.drug_data)} drugs, mesh={self.mesh.shape})")
         K = max(cfg.steps_per_dispatch, 1)
-        for epoch in range(cfg.epoch):
-            batch_stream = mol_iter.epoch_batches(epoch)
-            it = -1
-            for x, a in batch_stream:
-                dx, da = next(drug_iter)
-                if K > 1:
-                    # stack K batches and scan them in one dispatch
-                    xs, as_, dxs, das = [x], [a], [dx], [da]
-                    for _ in range(K - 1):
-                        nxt = next(batch_stream, None)
-                        if nxt is None:
-                            break
-                        xs.append(nxt[0])
-                        as_.append(nxt[1])
-                        d2 = next(drug_iter)
-                        dxs.append(d2[0])
-                        das.append(d2[1])
-                    if len(xs) == K:
-                        stack = [np.stack(arr) for arr in (xs, as_, dxs, das)]
-                        self.state, metrics_k, (node_logits, edge_logits) = \
-                            self.multi_step_fn(self.state, self.key, *stack)
-                        it += len(xs)
-                        metrics = {"d_loss": metrics_k["d_loss"][-1],
-                                   "g_loss": metrics_k["g_loss"][-1]}
-                        x, a = xs[-1], as_[-1]
-                    else:
-                        # tail smaller than K: fall back to single steps
-                        for xt, at, dxt, dat in zip(xs, as_, dxs, das):
-                            xb, ab, dxb, dab = self._shard_fn(
-                                xt, at, dxt, dat)
-                            self.state, metrics, (node_logits, edge_logits) \
-                                = self.step_fn(self.state, self.key,
-                                               xb, ab, dxb, dab)
-                            it += 1
-                        x, a = xs[-1], as_[-1]
-                else:
-                    xb, ab, dxb, dab = self._shard_fn(x, a, dx, da)
-                    self.state, metrics, (node_logits, edge_logits) = \
-                        self.step_fn(self.state, self.key, xb, ab, dxb, dab)
-                    it += 1
-                step = int(self.state.step)
-                self.logger.log({"epoch": epoch, "iter": it,
-                                 "d_loss": float(metrics["d_loss"]),
-                                 "g_loss": float(metrics["g_loss"])},
-                                step=step, echo=(it % 50 < K))
 
-                # cadence on the GLOBAL step, not the per-epoch iter: with
-                # fewer steps per epoch than log_sample_step the per-epoch
-                # counter never reaches the threshold and no samples or
-                # mid-run checkpoints would ever be written
-                if step % cfg.log_sample_step < K:
-                    # in --features mode x is a dense block; recover atom
-                    # labels from the one-hot prefix for the real-side decode
-                    x_labels = (np.argmax(x[..., :self.vocab.m_dim], -1)
-                                if cfg.features else x)
-                    chem = training_metrics(node_logits, edge_logits,
-                                            x_labels, a,
-                                            self.vocab, self.drug_smiles,
-                                            self.drug_fps,
-                                            max_atom=self.vertexes)
-                    self.logger.log(chem, step=step)
-                    n_valid = save_sample_artifacts(
-                        self.sample_dir, epoch, it, node_logits, edge_logits,
-                        self.vocab)
-                    print(f"samples saved at epoch {epoch} iteration {it} "
-                          f"({n_valid} valid)", flush=True)
-                    ckpt.save_gd_params(self.model_dir, self.state,
-                                        epoch + 1, it + 1)
-                    ckpt.save_state(self.model_dir, self.state)
-                    print(f"model saved at epoch {epoch} iteration {it}",
-                          flush=True)
+        # ---- pipelined host loop (closes the reference's per-iteration
+        # host sync, train.py:318): the global step counter is tracked
+        # host-side (fetching state.step would round-trip every iteration),
+        # loss scalars are buffered as device arrays and fetched every
+        # `log_flush_steps` dispatches — one hard sync amortized over the
+        # window, which also bounds the device-queue depth — and batch
+        # assembly runs on a prefetch thread.
+        host_step = int(self.state.step)  # one sync (0 unless resumed)
+        # split_step dispatches two programs per iteration; halve the
+        # window so in-flight executions stay within the relay's queue cap
+        programs_per_dispatch = 2 if getattr(cfg, "split_step", False) else 1
+        flush_every = max(getattr(cfg, "log_flush_steps", 16)
+                          // programs_per_dispatch, 1)
+        pending: list[tuple] = []   # (epoch, it, step, K_window, dev metrics)
+
+        def flush() -> None:
+            # float() on the newest scalar is the hard sync; everything
+            # queued before it has then executed too
+            for ep, it_, st_, kw, m in pending:
+                self.logger.log({"epoch": ep, "iter": it_,
+                                 "d_loss": float(m["d_loss"]),
+                                 "g_loss": float(m["g_loss"])},
+                                step=st_, echo=(it_ % 50 < kw))
+            pending.clear()
+
+        from druggen_tpu.utils.prefetch import prefetch
+
+        work = prefetch(self._work_items(mol_iter, drug_iter, K),
+                        getattr(cfg, "prefetch_depth", 2))
+        for epoch, it, n_steps, arrays, multi in work:
+            if multi:
+                self.state, metrics_k, (node_logits, edge_logits) = \
+                    self.multi_step_fn(self.state, self.key, *arrays)
+                metrics = {"d_loss": metrics_k["d_loss"][-1],
+                           "g_loss": metrics_k["g_loss"][-1]}
+                x, a = arrays[0][-1], arrays[1][-1]
+            else:
+                xb, ab, dxb, dab = self._shard_fn(*arrays)
+                self.state, metrics, (node_logits, edge_logits) = \
+                    self.step_fn(self.state, self.key, xb, ab, dxb, dab)
+                x, a = arrays[0], arrays[1]
+            host_step += n_steps
+            step = host_step
+            pending.append((epoch, it, step, max(K, 1), metrics))
+            at_cadence = step % cfg.log_sample_step < n_steps
+            if len(pending) >= flush_every or at_cadence:
+                flush()
+
+            # cadence on the GLOBAL step, not the per-epoch iter: with
+            # fewer steps per epoch than log_sample_step the per-epoch
+            # counter never reaches the threshold and no samples or
+            # mid-run checkpoints would ever be written
+            if at_cadence:
+                # in --features mode x is a dense block; recover atom
+                # labels from the one-hot prefix for the real-side decode
+                x_labels = (np.argmax(x[..., :self.vocab.m_dim], -1)
+                            if cfg.features else x)
+                chem = training_metrics(node_logits, edge_logits,
+                                        x_labels, a,
+                                        self.vocab, self.drug_smiles,
+                                        self.drug_fps,
+                                        max_atom=self.vertexes)
+                self.logger.log(chem, step=step)
+                n_valid = save_sample_artifacts(
+                    self.sample_dir, epoch, it, node_logits, edge_logits,
+                    self.vocab)
+                print(f"samples saved at epoch {epoch} iteration {it} "
+                      f"({n_valid} valid)", flush=True)
+                ckpt.save_gd_params(self.model_dir, self.state,
+                                    epoch + 1, it + 1)
+                ckpt.save_state(self.model_dir, self.state)
+                print(f"model saved at epoch {epoch} iteration {it}",
+                      flush=True)
+        flush()
         # final checkpoint + submodel export for inference
         ckpt.save_state(self.model_dir, self.state)
         ckpt.save_params(os.path.join(self.model_dir,
