@@ -80,6 +80,27 @@ _ALERT_SMARTS: tuple[tuple[str, str], ...] = (
     ("thiol", "[SX2H1]"),
     ("triphenyl_methyl", "[CX4](c)(c)c"),
     ("vinyl_halide", "[CX3]=[CX3][F,Cl,Br,I]"),
+    # ---- round-3 expansion: Brenk/QED alerts that fire on ordinary
+    # drug-like chemistry (the earlier catalogue under-counted vs the
+    # published 116-SMARTS list; these entries are its most frequently
+    # firing members)
+    ("alkyl_halide", "[CX4][Cl,Br,I]"),
+    ("triple_bond", "C#C"),
+    ("acyclic_imine", "[C;!R]=[N;!R]"),
+    ("acyclic_nn", "[N;!R]=[N;!R]"),
+    ("isolated_alkene",
+     "[$([CH2]),$([CH][CX4]),$(C([CX4])[CX4])]="
+     "[$([CH2]),$([CH][CX4]),$(C([CX4])[CX4])]"),
+    ("catechol", "c1ccc([OX2H1])c([OX2H1])c1"),
+    ("phenol_ester", "c[OX2][CX3]=[OX1]"),
+    ("cycloheptane", "[CR1]1[CR1][CR1][CR1][CR1][CR1][CR1]1"),
+    ("cyclooctane", "[CR2]1[CR2][CR2][CR2][CR2][CR2][CR2][CR2]1"),
+    ("benzo_cycloheptane", "[CR1]1[CR1][CR1]cc[CR1][CR1]1"),
+    ("oxygen_nitrogen_single", "[#8X2][#7]"),
+    ("sulfonyl_anion", "OS(=O)(=O)[O-]"),
+    ("halopyridine", "n1c([F,Cl,Br,I])cccc1"),
+    ("acyl_cyanide", "[CX3](=[OX1])[CX2]#[NX1]"),
+    ("alpha_halo_carbonyl", "[F,Cl,Br,I][CX4][CX3]=[OX1]"),
 )
 
 

@@ -5,22 +5,30 @@ Replaces the RDKit descriptor calls used by the reference metrics
 ``Descriptors/Lipinski/Crippen/rdMolDescriptors`` in
 ``src/util/utils.py:627-665``).
 
-Implementation notes (documented deviations from RDKit):
+Implementation notes:
 
-- **logP** is a compact Wildman-Crippen-inspired additive model over
-  procedural atom classes (element / aromaticity / neighbor-based), not the
-  full 68-SMARTS-class table.  Monotone trends and ranges match; absolute
-  values differ from RDKit by fractions of a log unit.
+- **logP** is the exact Wildman-Crippen model — the published 68-type
+  SMARTS table evaluated on the from-scratch SMARTS engine
+  (:mod:`druggen_tpu.chem.crippen`), verified against known RDKit
+  ``Crippen.MolLogP`` values.  The round-1 compact approximation remains
+  as :func:`crippen_logp_procedural`.
 - **TPSA** implements Ertl's published N/O contribution table (the default
   RDKit mode, which also ignores S/P).
+- **H-bond counts** are SMARTS-based, matching RDKit's
+  ``Lipinski.NumHDonors`` / ``NumHAcceptors`` definitions (used by the
+  reference at utils.py:642-643) and QED's own acceptor catalogue.
 - **QED** uses the published Bickerton et al. (2012) ADS parameters and
-  mean weights; the ALERTS descriptor (structural-alert SMARTS count) uses
-  the small procedural alert set in :func:`count_alerts`.
-- **SA score** implements Ertl & Schuffenhauer's complexity penalties
-  exactly and replaces the PubChem-derived fragment-frequency database
-  (shipped as a pickle with RDKit, unavailable offline) with a frequency
-  table built from this package's corpus via
-  :func:`build_fragment_scores` — same formula, different prior.
+  mean weights, with HBA/HBD computed per RDKit's ``QED.properties``
+  (QED acceptor SMARTS list / CalcNumHBD); the ALERTS descriptor uses the
+  catalogue in :mod:`druggen_tpu.chem.alerts`.
+- **SA score** implements Ertl & Schuffenhauer's formula exactly —
+  duplicate-counted fragment score, size/stereo/spiro/bridge/macrocycle
+  penalties, symmetry correction, and the published 1..10 mapping with
+  its ``+1`` offset quirk (RDKit contrib ``sascorer.calculateScore``) —
+  and replaces the PubChem-derived fragment-frequency database (shipped
+  as a pickle with RDKit, unavailable offline) with a frequency table
+  built from this package's corpus via :func:`build_fragment_scores` —
+  same formula, documented different prior.
 """
 
 from __future__ import annotations
@@ -46,16 +54,45 @@ def heavy_atom_count(mol: Mol) -> int:
 
 # ---------------------------------------------------------------- H bonds
 
+# RDKit Lipinski.HDonorSmarts / HAcceptorSmarts — the definitions behind
+# the reference's Lipinski.NumHDonors / NumHAcceptors (utils.py:642-643).
+_HDONOR_SMARTS = ("[$([N;!H0;v3]),$([N;!H0;+1;v4]),$([O,S;H1;+0]),"
+                  "$([n;H1;+0])]")
+_HACCEPTOR_SMARTS = ("[$([O,S;H1;v2]-[!$(*=[O,N,P,S])]),$([O,S;H0;v2]),"
+                     "$([O,S;-]),$([N;v3;!$(N-*=!@[O,N,P,S])]),"
+                     "$([nH0,o,s;+0])]")
+
+# RDKit QED.Acceptors — QED's own HBA catalogue (counts matches per
+# pattern, summed; rdkit/Chem/QED.py)
+_QED_ACCEPTOR_SMARTS = (
+    "[oH0;X2]", "[OH1;X2;v2]", "[OH0;X2;v2]", "[OH0;X1;v2]", "[O-;X1]",
+    "[SH0;X2;v2]", "[SH0;X1;v2]", "[S-;X1]", "[nH0;X2]", "[NH0;X1;v3]",
+    "[$([N;+0;X3;v3]);!$(N[C,S]=O)]",
+)
+
+
+def _n_matching(smarts: str, mol: Mol) -> int:
+    from druggen_tpu.chem.smarts import compile_smarts
+
+    return len(compile_smarts(smarts).matching_atoms(mol))
+
+
 def num_h_donors(mol: Mol) -> int:
-    """N/O atoms carrying at least one hydrogen (Lipinski definition,
-    reference utils.py:642)."""
-    return sum(1 for a in mol.atoms
-               if a.atomic_num in (7, 8) and a.total_hs() > 0)
+    """RDKit ``Lipinski.NumHDonors`` (= ``CalcNumHBD``): SMARTS-defined
+    donor atoms (reference utils.py:642)."""
+    return _n_matching(_HDONOR_SMARTS, mol)
 
 
 def num_h_acceptors(mol: Mol) -> int:
-    """N and O atoms (Lipinski N+O count, reference utils.py:643)."""
-    return sum(1 for a in mol.atoms if a.atomic_num in (7, 8))
+    """RDKit ``Lipinski.NumHAcceptors``: SMARTS-defined acceptor atoms
+    (reference utils.py:643)."""
+    return _n_matching(_HACCEPTOR_SMARTS, mol)
+
+
+def qed_h_acceptors(mol: Mol) -> int:
+    """QED's HBA term: total matches over the QED acceptor catalogue
+    (rdkit/Chem/QED.py Acceptors)."""
+    return sum(_n_matching(p, mol) for p in _QED_ACCEPTOR_SMARTS)
 
 
 # ---------------------------------------------------------------- rotors
@@ -161,7 +198,16 @@ def tpsa(mol: Mol) -> float:
 
 # ---------------------------------------------------------------- logP
 
-# Wildman-Crippen-inspired additive contributions per procedural atom class.
+def crippen_logp(mol: Mol) -> float:
+    """Exact Wildman-Crippen logP (RDKit ``Crippen.MolLogP``; reference
+    utils.py:641, QED's ALOGP).  Full published SMARTS table — see
+    :mod:`druggen_tpu.chem.crippen`."""
+    from druggen_tpu.chem.crippen import crippen_logp as _exact
+
+    return _exact(mol)
+
+
+# Round-1 compact approximation, kept for reference/fallback.
 _LOGP_HETERO_H = -0.2677      # H on N/O
 _LOGP_CARBON_H = 0.1230       # H on C
 
@@ -197,7 +243,7 @@ def _logp_atom(mol: Mol, i: int) -> float:
     return table.get(z, 0.0)
 
 
-def crippen_logp(mol: Mol) -> float:
+def crippen_logp_procedural(mol: Mol) -> float:
     total = 0.0
     for i, a in enumerate(mol.atoms):
         total += _logp_atom(mol, i)
@@ -310,10 +356,14 @@ def _ads(x: float, params) -> float:
 
 
 def qed_properties(mol: Mol) -> dict:
+    """The eight QED descriptors, computed as RDKit ``QED.properties``
+    does: MolWt, Crippen ALOGP, the QED acceptor-catalogue HBA,
+    CalcNumHBD, TPSA, strict rotatable bonds, aromatic SSSR rings, and
+    structural-alert hits."""
     return {
         "MW": mol_weight(mol),
         "ALOGP": crippen_logp(mol),
-        "HBA": num_h_acceptors(mol),
+        "HBA": qed_h_acceptors(mol),
         "HBD": num_h_donors(mol),
         "PSA": tpsa(mol),
         "ROTB": num_rotatable_bonds(mol),
@@ -337,6 +387,30 @@ def qed(mol: Mol) -> float:
 # ---------------------------------------------------------------- SA score
 
 _FRAGMENT_SCORES: dict[int, float] | None = None
+
+
+def _load_fragment_table() -> dict[int, float] | None:
+    """Load a precomputed fragment-frequency table if one is staged.
+
+    Search order: ``$DRUGGEN_SA_FRAGMENTS``, then the repo-level
+    ``data/cache/sa_fragments.npz`` (built by
+    ``scripts/build_sa_fragments.py`` from the real reference-released
+    molecule sets).  Returns None when nothing is staged (the built-in
+    corpus prior is used instead)."""
+    import os
+
+    cand = [os.environ.get("DRUGGEN_SA_FRAGMENTS", "")]
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand.append(os.path.join(pkg_root, "data", "cache", "sa_fragments.npz"))
+    for path in cand:
+        if path and os.path.exists(path):
+            import numpy as np
+
+            z = np.load(path)
+            ids = z["ids"].astype(np.uint64).tolist()
+            return dict(zip(ids, z["scores"].tolist()))
+    return None
 
 
 def build_fragment_scores(smiles_iter=None) -> dict[int, float]:
@@ -394,82 +468,125 @@ def _morgan_identifiers(mol: Mol, radius: int = 2) -> list[int]:
 
 def sa_score(mol: Mol) -> float:
     """Synthetic accessibility 1 (easy) .. 10 (hard): Ertl & Schuffenhauer's
-    formula — fragment familiarity + size/ring/stereo complexity penalties
-    (the reference uses RDKit contrib sascorer, inference.py:19-20,265)."""
+    formula, term for term as in RDKit contrib ``sascorer.calculateScore``
+    (the reference imports it at inference.py:19-20 and reports mean SA at
+    :265) — duplicate-counted fragment score with ``-4`` for unknown
+    environments, size/stereo/spiro/bridgehead/macrocycle penalties,
+    symmetry correction, and the published raw→[1,10] mapping including
+    its ``+1`` offset.  The fragment-frequency prior is corpus-built
+    (:func:`build_fragment_scores`) instead of RDKit's PubChem pickle —
+    the documented deviation."""
+    from collections import Counter
+
     global _FRAGMENT_SCORES
     if _FRAGMENT_SCORES is None:
-        _FRAGMENT_SCORES = build_fragment_scores()
+        _FRAGMENT_SCORES = _load_fragment_table() or build_fragment_scores()
 
     n = mol.num_atoms()
     if n == 0:
         return 10.0
-    idents = _morgan_identifiers(mol)
-    # unknown fragments count as moderately unusual (-1), not maximally
-    # rare, and low radii weigh more: our corpus-built table is far smaller
-    # than RDKit's PubChem-derived one, so radius-2 environments of small
-    # molecules are often legitimately absent
-    n_per_radius = mol.num_atoms()
-    radius_weights = (0.5, 0.3, 0.2)
-    frag_score = 0.0
-    for r, w in enumerate(radius_weights):
-        chunk = idents[r * n_per_radius:(r + 1) * n_per_radius]
-        if chunk:
-            frag_score += w * (sum(_FRAGMENT_SCORES.get(i, -1.0)
-                                   for i in chunk) / len(chunk))
+    # fragment score: counts over all environment ids (radii 0..2)
+    counts = Counter(_morgan_identifiers(mol))
+    nf = sum(counts.values())
+    score1 = sum(_FRAGMENT_SCORES.get(i, -4.0) * c
+                 for i, c in counts.items()) / nf
 
-    size_penalty = n ** 1.005 - n
+    # complexity penalties (sascorer features)
     rings = mol.ring_info()
-    n_macro = sum(1 for r in rings if len(r) > 8)
-    macro_penalty = math.log10(2) if n_macro > 0 else 0.0
-    n_spiro, n_bridge = _spiro_bridge_counts(mol, rings)
-    ring_complexity = math.log10(n_bridge + 1) + math.log10(n_spiro + 1)
-    # stereo centers: we drop stereo, so approximate with count of carbons
-    # with 4 distinct heavy neighbors (upper-bounds chiral carbons)
-    stereo_penalty = math.log10(_pseudo_stereo_centers(mol) + 1)
+    size_penalty = n ** 1.005 - n
+    stereo_penalty = math.log10(_potential_stereo_centers(mol) + 1)
+    spiro_atoms, bridge_atoms = _spiro_bridge_atoms(mol, rings)
+    spiro_penalty = math.log10(len(spiro_atoms) + 1)
+    bridge_penalty = math.log10(len(bridge_atoms) + 1)
+    macro_penalty = (math.log10(2)
+                     if any(len(r) > 8 for r in rings) else 0.0)
+    score2 = -(size_penalty + stereo_penalty + spiro_penalty
+               + bridge_penalty + macro_penalty)
 
-    raw = frag_score - (size_penalty + macro_penalty + ring_complexity
-                        + stereo_penalty)
-    # Ertl's linear map of the raw score onto 1..10 followed by the
-    # log smoothing of the hard end
+    # symmetry correction: many atoms sharing few distinct environments
+    score3 = 0.0
+    if n > len(counts):
+        score3 = math.log(float(n) / len(counts)) * 0.5
+
+    raw = score1 + score2 + score3
     _min, _max = -4.0, 2.5
-    sascore = 11.0 - (raw - _min) / (_max - _min) * 9.0
+    sascore = 11.0 - (raw - _min + 1.0) / (_max - _min) * 9.0
     if sascore > 8.0:
         sascore = 8.0 + math.log(sascore + 1.0 - 9.0)
     return float(min(max(sascore, 1.0), 10.0))
 
 
-def _spiro_bridge_counts(mol: Mol, rings) -> tuple[int, int]:
-    n_spiro = n_bridge = 0
+def _spiro_bridge_atoms(mol: Mol, rings) -> tuple[set, set]:
+    """Spiro atoms (shared by ring pairs with exactly one common atom) and
+    bridgehead atoms (endpoints of a >=2-bond shared path between two
+    rings) — RDKit ``CalcNumSpiroAtoms`` / ``CalcNumBridgeheadAtoms``
+    semantics on the SSSR."""
+    spiro: set[int] = set()
+    bridge: set[int] = set()
     for i in range(len(rings)):
         for j in range(i + 1, len(rings)):
             shared = set(rings[i]) & set(rings[j])
             if len(shared) == 1:
-                n_spiro += 1
-            elif len(shared) > 2:
-                n_bridge += 1
-    return n_spiro, n_bridge
+                spiro |= shared
+            elif len(shared) >= 3:
+                # endpoints of the shared path: exactly one neighbor
+                # inside the shared set
+                for a in shared:
+                    n_in = sum(1 for b in shared
+                               if b != a and mol.get_bond(a, b) is not None)
+                    if n_in == 1:
+                        bridge.add(a)
+    return spiro, bridge
 
 
-def _pseudo_stereo_centers(mol: Mol) -> int:
+def _subtree_sig(mol: Mol, cur: int, prev: int, depth: int):
+    a = mol.atoms[cur]
+    base = (a.atomic_num, a.charge, a.total_hs(), a.aromatic)
+    if depth == 0:
+        return base
+    subs = []
+    for j in mol.neighbors(cur):
+        if j == prev:
+            continue
+        b = mol.get_bond(cur, j)
+        subs.append((int(b.type), _subtree_sig(mol, j, cur, depth - 1)))
+    return (base, tuple(sorted(subs, key=repr)))
+
+
+def _potential_stereo_centers(mol: Mol) -> int:
+    """Approximation of RDKit ``FindMolChiralCenters(includeUnassigned=
+    True)`` count: sp3 carbons whose four substituents (implicit H
+    included) are pairwise-distinct by depth-limited subtree signature.
+    The graph representation drops stereo marks, so *potential* centers
+    are the right analogue (sascorer counts assigned+unassigned)."""
     count = 0
     for i, a in enumerate(mol.atoms):
-        if a.atomic_num == 6 and not a.aromatic and mol.degree(i) == 4:
-            nbr_sig = {mol.atoms[j].atomic_num for j in mol.neighbors(i)}
-            if len(nbr_sig) >= 3:
-                count += 1
+        if a.atomic_num != 6 or a.aromatic:
+            continue
+        h = a.total_hs()
+        nbrs = list(mol.neighbors(i))
+        if len(nbrs) + h != 4 or h > 1:
+            continue
+        sigs = [_subtree_sig(mol, j, i, 6) for j in nbrs]
+        if len(set(map(repr, sigs))) == len(sigs):
+            count += 1
     return count
 
 
 # ---------------------------------------------------------------- rules
 
 def obey_lipinski(mol: Mol) -> int:
-    """Count of satisfied Lipinski rules (reference utils.py:627-646)."""
-    logp = crippen_logp(mol)
+    """Count of satisfied Lipinski rules (reference utils.py:627-646).
+
+    Bug-compatible rule 4: the reference's walrus expression
+    ``(logp := Crippen.MolLogP(mol) >= -2) & (logp <= 5)`` binds ``logp``
+    to the *boolean* ``MolLogP >= -2``, so ``logp <= 5`` is always true
+    and the rule reduces to ``logP >= -2`` (utils.py:641)."""
     rules = [
         exact_mol_weight(mol) < 500,
         num_h_donors(mol) <= 5,
         num_h_acceptors(mol) <= 10,
-        (-2 <= logp <= 5),
+        crippen_logp(mol) >= -2,
         num_rotatable_bonds(mol) <= 10,
     ]
     return sum(int(r) for r in rules)

@@ -22,12 +22,24 @@ def test_mol_weight():
 
 
 def test_h_donors_acceptors():
+    # RDKit Lipinski.NumHDonors / NumHAcceptors SMARTS definitions
+    # (reference utils.py:642-643): the carboxyl OH oxygen is NOT an
+    # acceptor ([O;H1;v2] attached to a C that is =O is excluded)
     aspirin = M("CC(=O)Oc1ccccc1C(=O)O")
     assert D.num_h_donors(aspirin) == 1       # the COOH
-    assert D.num_h_acceptors(aspirin) == 4    # four oxygens
+    assert D.num_h_acceptors(aspirin) == 3    # 2 C=O + ester O
     caffeine = M("Cn1cnc2c1c(=O)n(C)c(=O)n2C")
     assert D.num_h_donors(caffeine) == 0
-    assert D.num_h_acceptors(caffeine) == 6   # 4 N + 2 O
+    # 2 C=O + pyridine-type n; the three substituted n are v3 aromatic
+    # with all valences in the ring system -> [nH0] matches, the two
+    # amide-type n's still count under [nH0,o,s;+0]
+    assert D.num_h_acceptors(caffeine) == 6
+    ethylamine = M("CCN")
+    assert D.num_h_donors(ethylamine) == 1
+    assert D.num_h_acceptors(ethylamine) == 1
+    pyrrole = M("c1cc[nH]c1")
+    assert D.num_h_donors(pyrrole) == 1
+    assert D.num_h_acceptors(pyrrole) == 0    # [nH] excluded from [nH0]
 
 
 def test_tpsa_known_values():

@@ -212,22 +212,24 @@ def _corpus():
     return DRUGLIKE_SMILES + generate_corpus(150, seed=9)
 
 
-def test_smarts_vs_descriptors_h_acceptors():
-    from druggen_tpu.chem.descriptors import num_h_acceptors
-
+def test_smarts_vs_direct_n_o_count():
+    # engine cross-validation against a direct atomic-number scan
+    # (num_h_acceptors moved to the RDKit Lipinski SMARTS definition in
+    # round 3, so it is no longer a plain N+O count)
     pat = compile_smarts("[#7,#8]")
     for smi in _corpus():
         m = _mol(smi)
-        assert len(pat.matching_atoms(m)) == num_h_acceptors(m), smi
+        direct = sum(1 for a in m.atoms if a.atomic_num in (7, 8))
+        assert len(pat.matching_atoms(m)) == direct, smi
 
 
-def test_smarts_vs_descriptors_h_donors():
-    from druggen_tpu.chem.descriptors import num_h_donors
-
+def test_smarts_vs_direct_nhoh_count():
     pat = compile_smarts("[#7,#8;!H0]")
     for smi in _corpus():
         m = _mol(smi)
-        assert len(pat.matching_atoms(m)) == num_h_donors(m), smi
+        direct = sum(1 for a in m.atoms
+                     if a.atomic_num in (7, 8) and a.total_hs() > 0)
+        assert len(pat.matching_atoms(m)) == direct, smi
 
 
 def test_smarts_vs_ring_info():
