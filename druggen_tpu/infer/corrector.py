@@ -54,7 +54,12 @@ class SmilesCorrector:
                     ReferenceCorrector,
                 )
 
-                neural = ReferenceCorrector.load(*ref_spec.split(":"))
+                if os.path.isdir(ref_spec):
+                    # a from-scratch-trained reference-topology dir
+                    # (scripts/train_corrector.py --arch reference)
+                    neural = ReferenceCorrector.load_trained(ref_spec)
+                else:
+                    neural = ReferenceCorrector.load(*ref_spec.split(":"))
             except Exception as e:
                 print(f"reference corrector unavailable ({e}); "
                       "falling back")

@@ -133,6 +133,62 @@ def greedy_translate(params, src, *, heads: int = 8, max_len: int = 202):
     return buf[:, 1:]
 
 
+def init_params(seed: int, src_vocab_size: int, trg_vocab_size: int,
+                hid: int = 256, pf: int = 512, n_layers: int = 3,
+                max_len: int = 202) -> dict:
+    """Random init of the reference-topology params pytree — the same
+    nesting ``interop.corrector_ckpt.convert_corrector_state_dict``
+    produces, so a from-scratch-trained model and an imported PAPYRUS_200
+    checkpoint are interchangeable.  Xavier-uniform linears and N(0,1)
+    embeddings match the reference's torch defaults
+    (``smiles_cor.py:575-606`` nn.Linear / nn.Embedding)."""
+    rng = np.random.default_rng(seed)
+
+    def lin(i, o):
+        bound = math.sqrt(6.0 / (i + o))
+        return {"kernel": rng.uniform(-bound, bound, (i, o)).astype(np.float32),
+                "bias": np.zeros(o, np.float32)}
+
+    def lnp():
+        return {"scale": np.ones(hid, np.float32),
+                "bias": np.zeros(hid, np.float32)}
+
+    def attn():
+        return {"fc_q": lin(hid, hid), "fc_k": lin(hid, hid),
+                "fc_v": lin(hid, hid), "fc_o": lin(hid, hid)}
+
+    def block(decoder=False):
+        out = {
+            "self_attention": attn(),
+            "self_attn_layer_norm": lnp(),
+            "positionwise_feedforward": {"fc_1": lin(hid, pf),
+                                         "fc_2": lin(pf, hid)},
+            "ff_layer_norm": lnp(),
+        }
+        if decoder:
+            out["encoder_attention"] = attn()
+            out["enc_attn_layer_norm"] = lnp()
+        return out
+
+    def emb(v):
+        return rng.standard_normal((v, hid)).astype(np.float32)
+
+    pos_rows = max_len + 2          # SOS + tokens + EOS buffer length
+    return {
+        "encoder": {
+            "tok_embedding": emb(src_vocab_size),
+            "pos_embedding": emb(pos_rows),
+            "layers": [block() for _ in range(n_layers)],
+        },
+        "decoder": {
+            "tok_embedding": emb(trg_vocab_size),
+            "pos_embedding": emb(pos_rows),
+            "layers": [block(decoder=True) for _ in range(n_layers)],
+            "fc_out": lin(hid, trg_vocab_size),
+        },
+    }
+
+
 def decode_tokens(ids_row, itos, reverse: bool = True) -> str:
     """Token ids -> SMILES string.  The reference trains the target field
     REVERSED (Field(tokenize=smi_tokenizer(x, reverse=True)),

@@ -155,6 +155,32 @@ class ReferenceCorrector:
         self._jnp = jnp
 
     @classmethod
+    def load_trained(cls, path: str) -> "ReferenceCorrector":
+        """Load a from-scratch-trained reference-topology corrector
+        (``scripts/train_corrector.py --arch reference``: params.msgpack +
+        vocab.json in one directory)."""
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from druggen_tpu.infer.seq2seq_ref import init_params
+
+        with open(os.path.join(path, "vocab.json")) as f:
+            meta = json.load(f)
+        itos = meta["itos"]
+        template = init_params(0, len(itos), len(itos), hid=meta["hid"],
+                               n_layers=meta["n_layers"],
+                               max_len=meta["max_len"])
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            params = serialization.from_bytes(template, f.read())
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        stoi = {t: i for i, t in enumerate(itos)}
+        return cls(params, stoi, itos, max_len=meta["max_len"])
+
+    @classmethod
     def load(cls, model_pkg: str, src_vocab_pth: str, trg_vocab_pth: str,
              **kw) -> "ReferenceCorrector":
         import torch

@@ -86,8 +86,16 @@ def mine_failure_pairs(args, corpus):
 
 
 def evaluate_corrector(corrector, holdout_pairs):
-    """Corrected-fraction + exact-repair rate on held-out garbage."""
+    """Corrected-fraction, exact-repair rate, and repair FIDELITY — mean
+    Tanimoto between each valid corrected molecule and its graph-repair
+    target (the corrector's actual job in the reference pipeline,
+    smiles_cor.py:1219-1283, is to recover the intended molecule, not just
+    *a* valid one)."""
+    import numpy as np
+
     from druggen_tpu.chem.canon import canonical_smiles
+    from druggen_tpu.chem.fingerprints import morgan_fingerprint
+    from druggen_tpu.chem.smiles import mol_from_smiles
 
     srcs = [s for s, _ in holdout_pairs]
     tgts = [t for _, t in holdout_pairs]
@@ -97,12 +105,117 @@ def evaluate_corrector(corrector, holdout_pairs):
     corrected = sum(1 for o in outs if o and canonical_smiles(o) is not None)
     exact = sum(1 for o, t in zip(outs, tgts)
                 if o and canonical_smiles(o) == canonical_smiles(t))
+    sims = []
+    for o, t in zip(outs, tgts):
+        mo = mol_from_smiles(o) if o else None
+        mt = mol_from_smiles(t)
+        if mo is None or mt is None:
+            continue
+        fo = morgan_fingerprint(mo).astype(np.float32)
+        ft = morgan_fingerprint(mt).astype(np.float32)
+        inter = float(fo @ ft)
+        union = float(fo.sum() + ft.sum()) - inter
+        sims.append(inter / union if union else 0.0)
     return {
         "n_holdout": n,
         "validity_before": src_valid / n if n else 0.0,
         "validity_after": corrected / n if n else 0.0,
         "exact_repair_rate": exact / n if n else 0.0,
+        "mean_tanimoto_to_target": (sum(sims) / len(sims)) if sims else 0.0,
+        "n_similarity_pairs": len(sims),
     }
+
+
+def train_reference_corrector(corpus, pairs, *, steps, batch, lr, hid,
+                              n_layers, max_len, out_dir, seed=0):
+    """Train the reference-exact topology (infer/seq2seq_ref.py) from
+    scratch on the same pair data — so the weight-compatible interop model
+    is also a performing model (VERDICT r2 weak #6).
+
+    Follows the reference training conventions: torchtext specials order
+    (UNK,PAD,SOS,EOS), REVERSED target token sequences
+    (smiles_cor.py:959-965), separate src/trg embeddings."""
+    import numpy as np
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    from druggen_tpu.infer.seq2seq import corruption_pairs, tokenize
+    from druggen_tpu.infer.seq2seq_ref import (
+        EOS,
+        PAD,
+        SOS,
+        UNK,
+        forward,
+        init_params,
+    )
+    from druggen_tpu.interop.corrector_ckpt import ReferenceCorrector
+
+    rng = np.random.default_rng(seed)
+    all_pairs = corruption_pairs(corpus, rng) + list(pairs)
+    # torchtext-order vocab over both sides
+    toks = sorted({t for s, g in all_pairs
+                   for t in tokenize(s) + tokenize(g)})
+    itos = ["<unk>", "<pad>", "<sos>", "<eos>"] + toks
+    stoi = {t: i for i, t in enumerate(itos)}
+    L = max_len + 2
+
+    def enc(smi, reverse):
+        ts = tokenize(smi)[:max_len]
+        if reverse:
+            ts = ts[::-1]
+        ids = [SOS] + [stoi.get(t, UNK) for t in ts] + [EOS]
+        row = np.full(L, PAD, np.int32)
+        row[:len(ids)] = ids
+        return row
+
+    src = np.stack([enc(s, False) for s, _ in all_pairs])
+    trg = np.stack([enc(g, True) for _, g in all_pairs])
+
+    params = init_params(seed, len(itos), len(itos), hid=hid,
+                         n_layers=n_layers, max_len=max_len)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    opt = optax.adamw(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, src_b, trg_b):
+        def loss_fn(p):
+            logits = forward(p, src_b, trg_b)
+            labels = trg_b[:, 1:]
+            lg = logits[:, :-1]
+            mask = labels != PAD
+            ll = optax.softmax_cross_entropy_with_integer_labels(lg, labels)
+            return (ll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = len(src)
+    for step in range(steps):
+        idx = rng.integers(0, n, size=batch)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(src[idx]), jnp.asarray(trg[idx]))
+        if step % 100 == 0:
+            print(f"ref-corrector step {step}: loss {float(loss):.4f}",
+                  flush=True)
+        elif step % 10 == 9:
+            float(loss)       # bound the dispatch queue (PERF.md)
+
+    params = jax.device_get(params)
+    os.makedirs(out_dir, exist_ok=True)
+    from flax import serialization
+
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+    with open(os.path.join(out_dir, "vocab.json"), "w") as f:
+        json.dump({"itos": itos, "hid": hid, "n_layers": n_layers,
+                   "max_len": max_len}, f)
+    print(f"reference-topology corrector saved to {out_dir}")
+    return ReferenceCorrector(jax.tree_util.tree_map(jnp.asarray, params),
+                              stoi, itos, max_len=max_len)
 
 
 def main():
@@ -132,6 +245,11 @@ def main():
     p.add_argument("--gen-mlp-ratio", type=int, default=3)
     p.add_argument("--max-atom", type=int, default=45)
     p.add_argument("--holdout-frac", type=float, default=0.1)
+    p.add_argument("--arch", choices=("native", "reference", "both"),
+                   default="native",
+                   help="corrector topology to train: the pre-LN native "
+                        "redesign, the reference-exact (PAPYRUS_200 weight-"
+                        "compatible) topology, or both")
     args = p.parse_args()
 
     if args.platform:
@@ -158,20 +276,38 @@ def main():
         n_hold = max(1, int(len(pairs) * args.holdout_frac))
         holdout, extra_pairs = pairs[:n_hold], pairs[n_hold:]
 
-    from druggen_tpu.infer.seq2seq import train_corrector
+    if args.arch in ("native", "both"):
+        from druggen_tpu.infer.seq2seq import train_corrector
 
-    corrector = train_corrector(corpus, steps=args.steps, batch=args.batch,
-                                lr=args.lr, hid=args.hid,
-                                n_layers=args.layers, max_len=args.max_len,
-                                extra_pairs=extra_pairs)
-    corrector.save(args.out)
-    print(f"corrector saved to {args.out}")
+        corrector = train_corrector(corpus, steps=args.steps,
+                                    batch=args.batch,
+                                    lr=args.lr, hid=args.hid,
+                                    n_layers=args.layers,
+                                    max_len=args.max_len,
+                                    extra_pairs=extra_pairs)
+        corrector.save(args.out)
+        print(f"corrector saved to {args.out}")
+        if holdout:
+            metrics = evaluate_corrector(corrector, holdout)
+            print("held-out garbage-set evaluation:", metrics)
+            with open(os.path.join(args.out, "eval.json"), "w") as f:
+                json.dump(metrics, f, indent=1)
+
+    if args.arch in ("reference", "both"):
+        ref_out = os.path.join(args.out, "ref_arch")
+        ref = train_reference_corrector(
+            corpus, extra_pairs, steps=args.steps, batch=args.batch,
+            lr=args.lr, hid=args.hid, n_layers=args.layers,
+            max_len=args.max_len, out_dir=ref_out)
+        if holdout:
+            metrics = evaluate_corrector(ref, holdout)
+            print("reference-topology held-out evaluation:", metrics)
+            with open(os.path.join(ref_out, "eval.json"), "w") as f:
+                json.dump(metrics, f, indent=1)
 
     if holdout:
-        metrics = evaluate_corrector(corrector, holdout)
-        print("held-out garbage-set evaluation:", metrics)
-        with open(os.path.join(args.out, "eval.json"), "w") as f:
-            json.dump(metrics, f, indent=1)
+        with open(os.path.join(args.out, "holdout_pairs.json"), "w") as f:
+            json.dump(holdout, f)
     print("enable with: export DRUGGEN_CORRECTOR_CKPT=" + args.out)
 
 

@@ -237,3 +237,48 @@ def test_smiles_corrector_env_selection(tmp_path, monkeypatch):
     # weight) corrector without crashing
     out = corr.correct(["CCO", "CC(("])
     assert "CCO" in out
+
+
+def test_reference_arch_train_save_load_roundtrip(tmp_path):
+    """scripts/train_corrector.py --arch reference path: from-scratch
+    training of the weight-compatible topology, saved dir loads through
+    ReferenceCorrector.load_trained and translates deterministically."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import numpy as np
+    from train_corrector import evaluate_corrector, train_reference_corrector
+    from druggen_tpu.data.corpus import DRUGLIKE_SMILES
+    from druggen_tpu.interop.corrector_ckpt import ReferenceCorrector
+
+    out = tmp_path / "refarch"
+    ref = train_reference_corrector(
+        DRUGLIKE_SMILES[:40], [("CCOO)C", "CCOC(O)C")],
+        steps=12, batch=4, lr=3e-4, hid=32, n_layers=1, max_len=60,
+        out_dir=str(out))
+    loaded = ReferenceCorrector.load_trained(str(out))
+    srcs = ["CCOO)C", "c1ccccc1("]
+    assert ref.translate_batch(srcs) == loaded.translate_batch(srcs)
+
+    metrics = evaluate_corrector(loaded, [("CCOO)C", "CCOC(O)C")])
+    assert set(metrics) >= {"validity_after", "exact_repair_rate",
+                            "mean_tanimoto_to_target"}
+    assert 0.0 <= metrics["mean_tanimoto_to_target"] <= 1.0
+
+
+def test_fidelity_metric_perfect_on_identity():
+    """mean_tanimoto_to_target is 1.0 when the corrector returns the
+    target itself."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from train_corrector import evaluate_corrector
+
+    class Echo:
+        def translate_batch(self, xs):
+            return ["CCO" for _ in xs]
+
+    m = evaluate_corrector(Echo(), [("CC(", "CCO"), ("N1CC", "CCO")])
+    assert m["validity_after"] == 1.0
+    assert m["exact_repair_rate"] == 1.0
+    assert m["mean_tanimoto_to_target"] == 1.0
