@@ -58,7 +58,8 @@ def gradient_penalty(critic: CriticFn,
 def gradient_penalty_fwdrev(critic: CriticFn,
                             real_node: jnp.ndarray, real_edge: jnp.ndarray,
                             fake_node: jnp.ndarray, fake_edge: jnp.ndarray,
-                            key: jax.Array) -> jnp.ndarray:
+                            key: jax.Array,
+                            critic_jvp: CriticFn | None = None) -> jnp.ndarray:
     """Same value and parameter-gradient as :func:`gradient_penalty`, but
     restructured as **reverse-over-forward** instead of the reference's
     reverse-over-reverse (``create_graph=True``, loss.py:36).
@@ -74,7 +75,15 @@ def gradient_penalty_fwdrev(critic: CriticFn,
 
     Mathematically identical gradients (tests/test_train_step.py checks
     allclose vs the rev-rev path); a throughput/memory knob on TPU where
-    the step is HBM-bandwidth-bound."""
+    the step is HBM-bandwidth-bound.
+
+    ``critic_jvp``: critic used for the JVP term only (defaults to
+    ``critic``).  The inner input-gradient pass is plain first-order
+    reverse AD and is never differentiated again, so ``critic`` may use
+    first-order fused kernels (``custom_vjp``); the JVP pass is
+    forward-differentiated and then transposed by the outer grad, so
+    ``critic_jvp`` must support forward mode (plain XLA, or the
+    ``custom_jvp`` kernel variant)."""
     b = real_node.shape[0]
     k_node, k_edge = jax.random.split(key)
     eps_node = jax.random.uniform(k_node, (b, 1, 1), real_node.dtype)
@@ -107,7 +116,10 @@ def gradient_penalty_fwdrev(critic: CriticFn,
     u_edge = u_edge.astype(int_edge.dtype)
 
     # s(θ) = uᵀ∇ₓD(x̂;θ) as a JVP; outer grad(θ) sees reverse-over-forward
-    _, s = jax.jvp(critic_sum, (int_node, int_edge), (u_node, u_edge))
+    def critic_jvp_sum(node, edge):
+        return jnp.sum((critic_jvp or critic)(edge, node))
+
+    _, s = jax.jvp(critic_jvp_sum, (int_node, int_edge), (u_node, u_edge))
     return s - jax.lax.stop_gradient(s) + jax.lax.stop_gradient(gp_value)
 
 
@@ -116,7 +128,8 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
                        mol_edge: jnp.ndarray, mol_node: jnp.ndarray,
                        lambda_gp: float, key: jax.Array,
                        gp_mode: str = "revrev",
-                       critic_gp: CriticFn | None = None) -> jnp.ndarray:
+                       critic_gp: CriticFn | None = None,
+                       critic_jvp: CriticFn | None = None) -> jnp.ndarray:
     """Reference ``discriminator_loss`` (loss.py:52-72): critic sees the real
     (drug) graphs and the generator's *logit* outputs (continuous
     relaxation, not argmax-discretized), with G frozen.
@@ -135,10 +148,13 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
     fake_node = jax.lax.stop_gradient(node_logits)
     fake_edge = jax.lax.stop_gradient(edge_logits)
     logits_fake = critic(fake_edge, fake_node)
-    gp_fn = (gradient_penalty_fwdrev if gp_mode == "fwdrev"
-             else gradient_penalty)
-    gp = gp_fn(critic_gp or critic, drug_node, drug_edge, fake_node,
-               fake_edge, key)
+    if gp_mode == "fwdrev":
+        gp = gradient_penalty_fwdrev(critic_gp or critic, drug_node,
+                                     drug_edge, fake_node, fake_edge, key,
+                                     critic_jvp=critic_jvp)
+    else:
+        gp = gradient_penalty(critic_gp or critic, drug_node, drug_edge,
+                              fake_node, fake_edge, key)
     return jnp.mean(logits_fake) - jnp.mean(logits_real) + lambda_gp * gp
 
 

@@ -129,13 +129,22 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
             return d_model_first.apply(params, e, n, deterministic=False,
                                        rngs={"dropout": rng})
 
-        # GP pass stays on the plain XLA critic.  A higher-order-capable
-        # fused variant exists (fused_mlp="jvp": Pallas forward, jnp-math
-        # derivatives — ops/fused_mlp.py) and is numerically exact in the
-        # double-backward, but measured 6% SLOWER here: the custom_jvp
+        # revrev: the GP pass is double-differentiated, so it stays on the
+        # plain XLA critic.  A higher-order-capable fused variant exists
+        # (fused_mlp="jvp": Pallas forward, jnp-math derivatives —
+        # ops/fused_mlp.py) and is numerically exact in the
+        # double-backward, but measured 6% SLOWER there: the custom_jvp
         # boundary blocks XLA from fusing the GP forward into its two
         # backward passes (PERF.md).
-        d_apply_gp = d_apply
+        #
+        # fwdrev: the GP *inner input-gradient* pass is plain first-order
+        # reverse AD (losses.py gradient_penalty_fwdrev stop-gradients it),
+        # so it CAN run the fused kernels; only the JVP term needs forward
+        # mode and stays on plain XLA (custom_vjp has no JVP rule).
+        if gp_mode == "fwdrev":
+            d_apply_gp = d_apply_first
+        else:
+            d_apply_gp = d_apply
     else:
         d_apply_first = d_apply
         d_apply_gp = d_apply
@@ -172,10 +181,21 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         # ---- D update (reference train.py:352-368)
         def d_loss_fn(d_params):
             critic = partial(d_apply_first, d_params, k_ddrop)
-            critic_gp = partial(d_apply_gp, d_params, k_ddrop)
+            if gp_mode == "fwdrev":
+                # the inner input-gradient pass contributes NO parameter
+                # tangent (losses.py stop-gradients its result), so hand
+                # it stop-gradiented params: the outer linearization then
+                # treats the whole block as constant, which both lets the
+                # first-order fused kernels run inside it and removes it
+                # from the backward graph.  The JVP term keeps live params.
+                critic_gp = partial(d_apply_gp,
+                                    jax.lax.stop_gradient(d_params), k_ddrop)
+            else:
+                critic_gp = partial(d_apply_gp, d_params, k_ddrop)
+            critic_jvp = partial(d_apply, d_params, k_ddrop)
             return discriminator_loss(generator_for_d, critic, disc_a,
                                       disc_x, a, x, lambda_gp, k_gp, gp_mode,
-                                      critic_gp)
+                                      critic_gp, critic_jvp)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,

@@ -423,3 +423,41 @@ def test_split_step_matches_single_jit():
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                    atol=1e-7)
     np.testing.assert_allclose(np.asarray(nl1), np.asarray(nl2), atol=1e-5)
+
+
+def test_train_step_fwdrev_fused_critic_agrees():
+    """gp_mode='fwdrev' with fused_critic routes the GP inner
+    input-gradient pass through the fused kernel (step.py wires
+    d_apply_gp = d_apply_first there); losses and D updates must match the
+    plain revrev step exactly (same PRNG path)."""
+    g, d = tiny_models()
+    cfg = tiny_cfg()
+    g_opt, d_opt = make_optimizers(cfg)
+    state = init_state(g, d, g_opt, d_opt, jax.random.PRNGKey(7), N, M_DIM,
+                       B_DIM)
+    key = jax.random.PRNGKey(17)
+    rng = np.random.default_rng(29)
+    x = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    a0 = np.triu(rng.integers(0, B_DIM, (B, N, N)), 1)
+    a = (a0 + a0.transpose(0, 2, 1)).astype(np.int8)
+    dx = rng.integers(0, M_DIM, (B, N)).astype(np.int8)
+    da = a.copy()
+
+    base = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=M_DIM,
+                           b_dim=B_DIM, submodel="DrugGEN", donate=False,
+                           gp_mode="revrev")
+    fused = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=M_DIM,
+                            b_dim=B_DIM, submodel="DrugGEN", donate=False,
+                            gp_mode="fwdrev", fused_critic=True)
+    st0, m0, _ = base(state, key, x, a, dx, da)
+    st1, m1, _ = fused(state, key, x, a, dx, da)
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m0["d_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["g_loss"]), float(m0["g_loss"]),
+                               rtol=1e-4)
+    p0 = jax.tree_util.tree_flatten_with_path(st0.d_params)[0]
+    p1 = jax.tree_util.tree_flatten_with_path(st1.d_params)[0]
+    for (k, a_), (_, b_) in zip(p0, p1):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=1e-6, rtol=1e-5,
+            err_msg=jax.tree_util.keystr(k))
