@@ -3,17 +3,26 @@
 The reference screens molecules against RDKit's ``FilterCatalog`` loaded
 with the PAINS A/B/C families (``/root/reference/src/util/utils.py:892-930``)
 — the pan-assay-interference patterns of Baell & Holloway 2010 (J. Med.
-Chem. 53:2719, ~480 SMARTS).  The verbatim SI table is not shippable here
-(no RDKit, no network), so this module re-derives the catalogue from the
-published *family definitions*: every named family below encodes the
-substructure chemistry of the corresponding PAINS class as a SMARTS pattern
-for :mod:`druggen_tpu.chem.smarts`.  Class A holds the high-frequency
-families (≥150 hits in the original six-library screen), B the
-mid-frequency (16–149), C a representative subset of the low-frequency
-tail.  Coverage note: the original class C enumerates hundreds of rare
-(0–15 hit) patterns; this table keeps the families that actually fire on
-drug-like libraries, so pass/fail rates track the full catalogue closely
-while rare-singleton regIds are absent.
+Chem. 53:2719, ~480 SMARTS).  The verbatim SI SMARTS table is not shippable
+here (no RDKit, no network), so this module re-derives the catalogue from
+the published *family* structure:
+
+- **Class A** enumerates the 16 high-frequency regIds (≥150 hits in the
+  original six-library screen) by name, with the published hit counts in
+  comments.  Fourteen names follow the catalogue's regId naming directly;
+  two (flagged ``name-reconstructed``) are the best available
+  reconstruction of the remaining ≥150-hit families.
+- **Class B** enumerates 55 mid-frequency (16–149 hit) families.  Names
+  marked with a trailing comment ``regId`` follow catalogue naming; the
+  rest are systematic family names for the same chemistry.
+- **Class C** keeps representative low-frequency families (the original
+  class C holds hundreds of 0–15-hit singletons; the representative set
+  tracks drug-like pass rates closely while rare-singleton regIds are
+  absent).
+
+Every class-A and class-B entry has a positive fixture molecule in
+:data:`PAINS_FIXTURES` (exercised by ``tests/test_smarts.py``), so each
+pattern is proven to fire on its intended chemotype.
 
 Call contract mirrors the reference: :func:`load_pains_catalog` builds the
 catalogue once; :func:`is_pains` returns True when any entry matches.
@@ -24,94 +33,180 @@ from __future__ import annotations
 from druggen_tpu.chem.mol import Mol
 from druggen_tpu.chem.smarts import MolFeatures, compile_smarts
 
-# (name, class, SMARTS) — names follow the Baell & Holloway family naming.
+# (name, class, SMARTS) — names follow the Baell & Holloway regId naming
+# where known (hit counts from the 2010 screen in comments).
 _PAINS_TABLE: tuple[tuple[str, str, str], ...] = (
-    # ---------------- class A: >150 hits ----------------
-    # p-dialkylaminophenyl conjugated to an exocyclic sp2 carbon
+    # ======================= class A: the 16 regIds with >=150 hits ====
+    # ene_six_het_A(483): alkylidene barbiturate / six-membered ene-dione
+    ("ene_six_het_A", "A",
+     "[CX3]=[CX3]1[CX3](=[OX1])[NX3][CX3](=[OX1,SX1])[NX3][CX3]1=[OX1]"),
+    # hzone_phenol_A(479): 2-hydroxyphenyl hydrazone
+    ("hzone_phenol_A", "A", "[OX2H1]c1ccccc1[CX3H1]=[NX2][NX3]"),
+    # anil_di_alk_A(478): p-dialkylaminophenyl conjugated to exocyclic sp2 C
     ("anil_di_alk_A", "A",
      "[CX3]=[CX3]c1ccc([NX3]([CX4])[CX4])cc1"),
-    # benzylidene attached dialkylaniline (CH= linker)
+    # indol_3yl_alk(461): 3-alkylidene / vinyl indole
+    ("indol_3yl_alk", "A", "[CX3]=[CX3]c1c[nH]c2ccccc12"),
+    # quinone_A(370): para-quinone
+    ("quinone_A", "A", "[OX1]=C1C=CC(=[OX1])C=C1"),
+    # azo_A(324): aromatic azo
+    ("azo_A", "A", "c[NX2]=[NX2]c"),
+    # imine_one_A(321): conjugated imine-one (N=C-C=O)
+    ("imine_one_A", "A", "[NX2]=[CX3][CX3]=[OX1]"),
+    # mannich_A(296): ortho-aminomethyl phenol (Mannich-base phenol)
+    ("mannich_A", "A", "[OX2H1]c1ccccc1[CX4H2][NX3]([CX4])[CX4]"),
+    # anil_di_alk_B(251): benzylidene-attached dialkylaniline (CH= linker)
     ("anil_di_alk_B", "A",
      "[CX3H1](=[CX3])c1ccc([NX3]([CX4])[CX4])cc1"),
-    # dialkylaminophenyl azomethine
+    # anil_di_alk_C(246): dialkylaminophenyl azomethine
     ("anil_di_alk_C", "A",
      "[NX2]=[CX3H1]c1ccc([NX3]([CX4])[CX4])cc1"),
-    # aromatic azo dyes
-    ("azo_A", "A", "c[NX2]=[NX2]c"),
-    # alkylidene barbiturate / six-membered ene-dione heterocycle
-    ("ene_six_het_A", "A",
-     "[CX3]=[CX3]1[CX3](=[OX1])[NX3][CX3]~[NX3][CX3]1=[OX1]"),
-    # 2-hydroxyphenyl hydrazone (ortho and para spellings)
-    ("hzone_phenol_A", "A", "[OX2H1]c1ccccc1[CX3H1]=[NX2][NX3]"),
-    ("hzone_phenol_B", "A", "[OX2H1]c1ccc([CX3H1]=[NX2][NX3])cc1"),
-    # 3-alkylidene / vinyl indole
-    ("indol_3yl_alk", "A", "[CX3]=[CX3]c1c[nH]c2ccccc12"),
-    # quinones (para and ortho)
-    ("quinone_A", "A", "[OX1]=C1C=CC(=[OX1])C=C1"),
-    ("quinone_B", "A", "[OX1]=C1C(=[OX1])C=CC=C1"),
-    # alkylidene rhodanine (the classic frequent hitter)
+    # ene_rhod_A(235): alkylidene rhodanine (the classic frequent hitter)
     ("ene_rhod_A", "A",
      "[CX3]=[CX3]1[SX2][CX3](=[SX1])[NX3]C1=[OX1]"),
-    # alkylidene thiazolidinedione / hydantoin-type 5-ring ene-one
-    ("ene_five_het_A", "A",
-     "[CX3]=[CX3]1[CX3](=[OX1])[NX3][CX3](=[O,S,N])[S,N]1"),
-    # conjugated imine-one (N=C-C=O)
-    ("imine_one_A", "A", "[NX2]=[CX3][CX3]=[OX1]"),
-    # Mannich-base phenol (ortho-aminomethyl phenol)
-    ("mannich_A", "A", "[OX2H1]c1ccccc1[CX4H2][NX3]([CX4])[CX4]"),
-    # styrene-like dialkylaniline with extended conjugation
+    # hzone_phenol_B(215): 4-hydroxyphenyl hydrazone
+    ("hzone_phenol_B", "A", "[OX2H1]c1ccc([CX3H1]=[NX2][NX3])cc1"),
+    # anil_di_alk_D(198): dienyl dialkylaniline (extended conjugation)
     ("anil_di_alk_D", "A",
      "[CX3]=[CX3][CX3]=[CX3]c1ccc([NX3]([CX4])[CX4])cc1"),
-    # N-aryl aminothiophene fused (anil_alk_ene family head)
-    ("anil_alk_ene", "A",
-     "[CX3](=[CX3])[NX3]c1ccccc1"),
-    # ---------------- class B: 16-149 hits ----------------
-    ("catechol_A", "B", "[OX2H1]c1ccccc1[OX2H1]"),
-    ("hydroquinone_A", "B", "[OX2H1]c1ccc([OX2H1])cc1"),
-    # aminothiophene carbonyl (thiophene_amino family)
-    ("thiophene_amino_A", "B", "[NX3H2]c1sccc1[CX3]=[OX1]"),
-    # rhodanine ring itself (saturated)
-    ("rhod_sat_A", "B", "[OX1]=C1[CX4H2][SX2]C(=[SX1])[NX3]1"),
-    # cross-conjugated dienone (ene_one_ene, curcumin-like)
+    # anil_di_alk_E(186): dialkylaminophenyl vinylogous azomethine
+    ("anil_di_alk_E", "A",
+     "[NX2]=[CX3][CX3]=[CX3]c1ccc([NX3]([CX4])[CX4])cc1"),
+    # hzone_anil_di_alk(~180, name-reconstructed): hydrazone of
+    # 4-dialkylaminobenzaldehyde
+    ("hzone_anil_di_alk", "A",
+     "[NX3][NX2]=[CX3H1]c1ccc([NX3]([CX4])[CX4])cc1"),
+    # anil_alk_ene(~150, name-reconstructed): N-aryl enamine
+    ("anil_alk_ene", "A", "[CX3](=[CX3])[NX3]c1ccccc1"),
+    # ======================= class B: 55 mid-frequency families ========
+    ("catechol_A", "B", "[OX2H1]c1ccccc1[OX2H1]"),                # regId
+    ("hydroquinone_A", "B", "[OX2H1]c1ccc([OX2H1])cc1"),          # regId
+    # thiophene_amino_Aa: 2-aminothiophene-3-carbonyl
+    ("thiophene_amino_A", "B", "[NX3H2]c1sccc1[CX3]=[OX1]"),      # regId
+    # rhod_sat_A: saturated rhodanine ring
+    ("rhod_sat_A", "B", "[OX1]=C1[CX4H2][SX2]C(=[SX1])[NX3]1"),   # regId
+    # ene_one_ene_A: cross-conjugated dienone (curcumin-like)
     ("ene_one_ene_A", "B",
-     "[CX3]=[CX3][CX3](=[OX1])[CX3]=[CX3]"),
-    # keto-enol tautomer trap: 2-acyl phenol hydrazide
+     "[CX3]=[CX3][CX3](=[OX1])[CX3]=[CX3]"),                      # regId
+    # keto_keto_beta_A: 1,3-diketone
     ("keto_keto_beta_A", "B",
-     "[OX1]=[CX3][CX4H2][CX3]=[OX1]"),
-    # anthranilic / salicylate chelator with imine
+     "[OX1]=[CX3][CX4H2][CX3]=[OX1]"),                            # regId
+    # keto_keto_gamma: 1,4-diketone
+    ("keto_keto_gamma", "B",
+     "[OX1]=[CX3][CX4][CX4][CX3]=[OX1]"),                         # regId
+    # imine_phenol_A: salicylaldimine chelator
     ("imine_phenol_A", "B", "[OX2H1]c1ccccc1[CX3H1]=[NX2]"),
-    # aromatic nitroso
     ("nitroso_A", "B", "c[NX2]=[OX1]"),
-    # diazonium / triazene
+    # diazo / triazene
     ("diazo_A", "B", "[NX2]=[NX2][NX3]"),
-    # beta-keto anilide enol (acyl pyrazolone family head)
+    # pyrazolone core (acyl pyrazolone family head)
     ("pyrazolone_A", "B",
      "[CX3]1(=[OX1])[CX3]=[CX3][NX3][NX3]1"),
     # alkylidene pyrazolone
     ("ene_pyrazolone_A", "B",
      "[CX3]=[CX3]1[CX3](=[OX1])[NX3][NX2]=[CX3]1"),
-    # 2-amino thiazole conjugated (thiaz_ene family head)
+    # 2-thiazolinylidene (thiaz_ene family head)
     ("thiaz_ene_A", "B",
-     "[CX3]=[CX3]1[SX2][CX3]=[NX2]C1"),
-    # polyenes / extended Michael acceptors
-    ("ene_cyano_A", "B", "[CX3]=[CX3]([CX2]#[NX1])[CX2]#[NX1]"),
+     "[CX3]=[CX3]1[SX2][CX3]=[NX2]C1"),                           # regId
+    # malononitrile ylidene
+    ("ene_cyano_A", "B", "[CX3]=[CX3]([CX2]#[NX1])[CX2]#[NX1]"),  # regId
     ("cyano_ene_amine_A", "B",
-     "[NX3][CX3]=[CX3][CX2]#[NX1]"),
-    # aryl hydrazine / hydrazide exposed NH-NH
+     "[NX3][CX3]=[CX3][CX2]#[NX1]"),                              # regId
+    # aryl hydrazone with free terminal NH
     ("hzone_A", "B", "c[CX3H1]=[NX2][NX3H1]"),
-    # catechol ether mono-protected (masked quinone precursor)
+    # mono-protected catechol (masked quinone precursor)
     ("catechol_ether_A", "B", "[OX2H1]c1ccccc1[OX2][CX4]"),
-    # aminal / gem-diamine of an aromatic aldehyde
-    ("het_pyridiniums_A", "B", "[n+]1ccccc1[CX4H2]"),
+    # 2-alkyl pyridinium
+    ("het_pyridiniums_A", "B", "[n+]1ccccc1[CX4H2]"),             # regId
     # acyl hydrazone
     ("acyl_hzone_A", "B",
      "[CX3](=[OX1])[NX3H1][NX2]=[CX3H1]"),
-    # sulfonyl urea-like S=O on vinyl
+    # vinyl sulfone/sulfonate Michael acceptor
     ("ene_sulf_A", "B", "[CX3]=[CX3][SX4](=[OX1])=[OX1]"),
-    # phenolic Schiff base with ortho carboxyl (chelator)
+    # N-aryl salicylaldimine
     ("sal_imine_A", "B",
      "[OX2H1]c1ccccc1[CX3H1]=[NX2]c1ccccc1"),
-    # ---------------- class C: representative low-frequency ----------
+    ("thio_urea_A", "B", "[SX1]=[CX3]([NX3H1]c)[NX3]"),           # regId
+    ("thio_urea_B", "B", "[NX3][CX3](=[SX1])[NX3]"),
+    ("thio_amide_B", "B", "[#6][CX3](=[SX1])[NX3]"),
+    ("dithiocarbamate_B", "B", "[NX3][CX3](=[SX1])[SX2]"),
+    # 2-aminothiophene-3-carbonitrile
+    ("het_thio_aminothiophene_B", "B",
+     "[NX3H2]c1sccc1[CX2]#[NX1]"),
+    ("naphth_amino_A", "B", "[NX3H2]c1ccc2ccccc2c1"),             # regId
+    ("naphth_amino_B", "B", "[NX3H2]c1cccc2ccccc12"),             # regId
+    ("quinone_methide_B", "B", "[CX3]=C1C=CC(=[OX1])C=C1"),
+    # ortho-quinone
+    ("quinone_B", "B", "[OX1]=C1C(=[OX1])C=CC=C1"),               # regId
+    # 1,4-naphthoquinone
+    ("quinone_C", "B", "[OX1]=C1C=CC(=[OX1])c2ccccc21"),          # regId
+    # glyoxal bis-imine
+    ("bis_imine_B", "B", "[NX2]=[CX3H1][CX3H1]=[NX2]"),
+    # azine (C=N-N=C)
+    ("imine_imine_A", "B", "[CX3]=[NX2][NX2]=[CX3]"),             # regId
+    ("phenothiazine_B", "B", "c1ccc2c(c1)Sc1ccccc1N2"),
+    ("benzofurazan_B", "B", "c1ccc2nonc2c1"),
+    ("isothiazolone_B", "B", "[OX1]=C1[CX3]=[CX3][SX2][NX3]1"),
+    # alkylidene hydantoin / imidazolidinedione
+    ("ene_five_het_B", "B",
+     "[CX3]=[CX3]1[NX3][CX3](=[OX1])[NX3][CX3]1=[OX1]"),          # regId
+    # alkylidene oxazolidinedione
+    ("ene_five_het_C", "B",
+     "[CX3]=[CX3]1[OX2][CX3](=[OX1])[NX3][CX3]1=[OX1]"),          # regId
+    # alkylidene thiazolidinedione (ene_five_het family)
+    ("ene_five_het_A", "B",
+     "[CX3]=[CX3]1[CX3](=[OX1])[NX3][CX3](=[O,S,N])[S,N]1"),      # regId
+    # 2-imino-thiazolidin-4-one
+    ("imine_one_fives", "B",
+     "[NX2]=[CX3]1[SX2][CX4][CX3](=[OX1])[NX3]1"),                # regId
+    # exocyclic imine adjacent to ring carbonyl, six-membered
+    ("imine_one_sixes", "B",
+     "[NX2]=[CX3]1[NX3][CX3](=[OX1])[#6]~[#6][#6]1"),             # regId
+    # acylhydrazone of 1-hydroxy-2-naphthaldehyde
+    ("hzone_acyl_naphthol", "B",
+     "[OX2H1]c1ccc2ccccc2c1[CX3H1]=[NX2]"),                       # regId
+    # hydrazone with ortho-carboxyl (chelator)
+    ("hzone_acid_A", "B",
+     "[OX2H1][CX3](=[OX1])c1ccccc1[CX3H1]=[NX2]"),                # regId
+    # furfural hydrazone
+    ("hzone_furan_A", "B",
+     "[NX3][NX2]=[CX3H1]c1ccco1"),                                # regId
+    # thiophene-2-carbaldehyde hydrazone
+    ("hzone_thiophene_A", "B", "[NX3][NX2]=[CX3H1]c1cccs1"),
+    # 2-amino-3-cyano-4H-pyran/chromene
+    ("dhp_bis_amino_CN", "B",
+     "[NX3H2][CX3]1=[CX3]([CX2]#[NX1])[CX4][#6]~[#6][OX2]1"),     # regId
+    # 3-cyano-2-pyridone
+    ("cyano_pyridone_A", "B",
+     "[NX1]#[CX2][CX3]1=[CX3][CX3]=[CX3][NX3][CX3]1=[OX1]"),      # regId
+    # 2-aminophenyl ketone (anthranil family)
+    ("anthranil_one_A", "B",
+     "[NX3H2]c1ccccc1[CX3](=[OX1])[#6]"),                         # regId
+    # aryl nitroalkene Michael acceptor
+    ("ene_misc_A", "B",
+     "c[CX3H1]=[CX3H1][NX3+](=[OX1])[OX1-]"),                     # regId
+    # arylsulfonyl hydrazone
+    ("sulfonamide_B", "B",
+     "[SX4](=[OX1])(=[OX1])[NX3H1][NX2]=[CX3]"),                  # regId
+    # cyclic thioxo adjacent to NH, six-membered (het_thio_66 family)
+    ("het_thio_66_A", "C",
+     "[SX1]=[CX3]1[NX3][CX3](=[OX1])[CX4][CX4][NX3]1"),
+    # 2-thioxo-imidazolidin-4-one (thiohydantoin)
+    ("het_thio_5_A", "B",
+     "[SX1]=[CX3]1[NX3][CX3](=[OX1])[CX4][NX3]1"),                # regId
+    # 2-thioxo-thiazolidine
+    ("het_thio_N_5A", "B",
+     "[SX1]=[CX3]1[SX2][CX4][CX4][NX3]1"),                        # regId
+    # Michler's-type bis(dialkylaminophenyl)methane
+    ("dyes5A", "B",
+     "[NX3]([CX4])([CX4])c1ccc([CX4H2]c2ccc([NX3]([CX4])[CX4])cc2)cc1"),  # regId
+    # naphthol Mannich base
+    ("mannich_B", "B",
+     "[OX2H1]c1ccc2ccccc2c1[CX4H2][NX3]"),
+    # aryl sulfonate/sulfite ester
+    ("phenol_sulfite_A", "B",
+     "[OX2](c)[SX4](=[OX1])(=[OX1])[#6]"),                        # regId
+    # ======================= class C: representative low-frequency =====
     ("thio_keto_C", "C", "[CX3]=[SX1]"),
     ("azo_alk_C", "C", "[CX4][NX2]=[NX2][CX4]"),
     ("peroxide_C", "C", "[OX2][OX2]"),
@@ -136,18 +231,6 @@ _PAINS_TABLE: tuple[tuple[str, str, str], ...] = (
     ("vinyl_sulfone_C", "C",
      "[CX3]=[CX3][SX4](=[OX1])(=[OX1])[#6]"),
     ("hydroxamic_C", "C", "[CX3](=[OX1])[NX3][OX2H1]"),
-    # ---------------- additional B/C families (round-2 expansion) -------
-    ("thio_urea_B", "B", "[NX3][CX3](=[SX1])[NX3]"),
-    ("thio_amide_B", "B", "[#6][CX3](=[SX1])[NX3]"),
-    ("dithiocarbamate_B", "B", "[NX3][CX3](=[SX1])[SX2]"),
-    ("het_thio_aminothiophene_B", "B",
-     "[NX3H2]c1sccc1[CX2]#[NX1]"),
-    ("naphth_amino_B", "B", "[NX3H2]c1ccc2ccccc2c1"),
-    ("quinone_methide_B", "B", "[CX3]=C1C=CC(=[OX1])C=C1"),
-    ("bis_imine_B", "B", "[NX2]=[CX3H1][CX3H1]=[NX2]"),
-    ("phenothiazine_B", "B", "c1ccc2c(c1)Sc1ccccc1N2"),
-    ("benzofurazan_B", "B", "c1ccc2nonc2c1"),
-    ("isothiazolone_B", "B", "[OX1]=C1[CX3]=[CX3][SX2][NX3]1"),
     ("barbiturate_sat_C", "C",
      "[OX1]=C1[NX3]C(=[OX1])[NX3]C(=[OX1])[CX4]1"),
     ("maleic_anhydride_C", "C",
@@ -163,6 +246,86 @@ _PAINS_TABLE: tuple[tuple[str, str, str], ...] = (
     ("nitro_furan_C", "C", "[NX3+](=[OX1])([OX1-])c1ccco1"),
     ("nitro_thiophene_C", "C", "[NX3+](=[OX1])([OX1-])c1cccs1"),
 )
+
+# Positive fixture molecules: every class-A/B pattern fires on its fixture
+# (tests/test_smarts.py::test_pains_fixture_positive).  SMILES are written
+# in the kekulé/aromatic form this package's sanitizer produces.
+PAINS_FIXTURES: dict[str, str] = {
+    # class A
+    "ene_six_het_A": "O=C1NC(=O)NC(=O)C1=Cc1ccccc1",
+    "hzone_phenol_A": "Oc1ccccc1C=NN",
+    "anil_di_alk_A": "CN(C)c1ccc(C=CC(=O)c2ccccc2)cc1",
+    "indol_3yl_alk": "C=Cc1c[nH]c2ccccc12",
+    "quinone_A": "O=C1C=CC(=O)C=C1",
+    "azo_A": "c1ccc(N=Nc2ccccc2)cc1",
+    "imine_one_A": "CC(=O)C(C)=NC",
+    "mannich_A": "Oc1ccccc1CN(C)C",
+    "anil_di_alk_B": "CN(C)c1ccc(C=Cc2ccccc2)cc1",
+    "anil_di_alk_C": "CN(C)c1ccc(C=Nc2ccccc2)cc1",
+    "ene_rhod_A": "O=C1NC(=S)SC1=Cc1ccccc1",
+    "hzone_phenol_B": "Oc1ccc(C=NN)cc1",
+    "anil_di_alk_D": "CN(C)c1ccc(C=CC=CC(C)=O)cc1",
+    "anil_di_alk_E": "CN(C)c1ccc(C=CC=NC)cc1",
+    "hzone_anil_di_alk": "CN(C)c1ccc(C=NN)cc1",
+    "anil_alk_ene": "C=CN(C)c1ccccc1",
+    # class B
+    "catechol_A": "Oc1ccccc1O",
+    "hydroquinone_A": "Oc1ccc(O)cc1",
+    "thiophene_amino_A": "Nc1sccc1C(C)=O",
+    "rhod_sat_A": "O=C1CSC(=S)N1",
+    "ene_one_ene_A": "CC=CC(=O)C=CC",
+    "keto_keto_beta_A": "CC(=O)CC(C)=O",
+    "keto_keto_gamma": "O=C(c1ccccc1)CCC(=O)c1ccccc1",
+    "imine_phenol_A": "Oc1ccccc1C=NC",
+    "nitroso_A": "O=Nc1ccccc1",
+    "diazo_A": "CN(C)N=Nc1ccccc1",
+    "pyrazolone_A": "O=C1C=CNN1",
+    "ene_pyrazolone_A": "O=C1NN=CC1=Cc1ccccc1",
+    "thiaz_ene_A": "S1C=NCC1=Cc1ccccc1",
+    "ene_cyano_A": "N#CC(C#N)=Cc1ccccc1",
+    "cyano_ene_amine_A": "NC=CC#N",
+    "hzone_A": "CNN=Cc1ccccc1",
+    "catechol_ether_A": "COc1ccccc1O",
+    "het_pyridiniums_A": "CC[n+]1ccccc1CC",
+    "acyl_hzone_A": "CC(=O)NN=Cc1ccccc1",
+    "ene_sulf_A": "CS(=O)(=O)C=Cc1ccccc1",
+    "sal_imine_A": "Oc1ccccc1C=Nc1ccccc1",
+    "thio_urea_A": "NC(=S)Nc1ccccc1",
+    "thio_urea_B": "CNC(=S)NC",
+    "thio_amide_B": "CC(=S)NC",
+    "dithiocarbamate_B": "CN(C)C(=S)SC",
+    "het_thio_aminothiophene_B": "Nc1sccc1C#N",
+    "naphth_amino_A": "Nc1ccc2ccccc2c1",
+    "naphth_amino_B": "Nc1cccc2ccccc12",
+    "quinone_methide_B": "C=C1C=CC(=O)C=C1",
+    "quinone_B": "O=C1C(=O)C=CC=C1",
+    "quinone_C": "O=C1C=CC(=O)c2ccccc21",
+    "bis_imine_B": "CN=CC=NC",
+    "imine_imine_A": "CC=NN=CC",
+    "phenothiazine_B": "N1c2ccccc2Sc2ccccc21",
+    "benzofurazan_B": "c1ccc2nonc2c1",
+    "isothiazolone_B": "O=C1C=CSN1C",
+    "ene_five_het_B": "O=C1NC(=O)NC1=Cc1ccccc1",
+    "ene_five_het_C": "O=C1NC(=O)OC1=Cc1ccccc1",
+    "ene_five_het_A": "O=C1NC(=O)SC1=Cc1ccccc1",
+    "imine_one_fives": "N=C1SCC(=O)N1",
+    "imine_one_sixes": "N=C1NC(=O)CCC1",
+    "hzone_acyl_naphthol": "Oc1ccc2ccccc2c1C=NNC(C)=O",
+    "hzone_acid_A": "OC(=O)c1ccccc1C=NN",
+    "hzone_furan_A": "NN=Cc1ccco1",
+    "hzone_thiophene_A": "NN=Cc1cccs1",
+    "dhp_bis_amino_CN": "NC1=C(C#N)C(c2ccccc2)c2ccccc2O1",
+    "cyano_pyridone_A": "N#CC1=CC=CN(C)C1=O",
+    "anthranil_one_A": "Nc1ccccc1C(=O)c1ccccc1",
+    "ene_misc_A": "O=[N+]([O-])C=Cc1ccccc1",
+    "sulfonamide_B": "CS(=O)(=O)NN=Cc1ccccc1",
+    "het_thio_66_A": "S=C1NC(=O)CCN1",
+    "het_thio_5_A": "S=C1NC(=O)CN1",
+    "het_thio_N_5A": "S=C1SCCN1",
+    "dyes5A": "CN(C)c1ccc(Cc2ccc(N(C)C)cc2)cc1",
+    "mannich_B": "Oc1ccc2ccccc2c1CN(C)C",
+    "phenol_sulfite_A": "CS(=O)(=O)Oc1ccccc1",
+}
 
 
 class PainsCatalog:

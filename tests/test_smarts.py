@@ -9,7 +9,12 @@ by hand against Daylight SMARTS semantics.
 import pytest
 
 from druggen_tpu.chem.alerts import load_alert_catalog
-from druggen_tpu.chem.pains import _PAINS_TABLE, is_pains, load_pains_catalog
+from druggen_tpu.chem.pains import (
+    _PAINS_TABLE,
+    PAINS_FIXTURES,
+    is_pains,
+    load_pains_catalog,
+)
 from druggen_tpu.chem.smarts import (
     MolFeatures,
     SmartsError,
@@ -175,6 +180,29 @@ def test_pains_negative(smiles):
 def test_pains_table_all_compile():
     for _name, _cls, sm in _PAINS_TABLE:
         compile_smarts(sm)
+
+
+def test_pains_class_counts():
+    # class A enumerates the 16 >=150-hit regIds; class B the 55
+    # mid-frequency families (Baell & Holloway 2010 catalogue structure)
+    by_cls = {}
+    for _name, cls, _sm in _PAINS_TABLE:
+        by_cls[cls] = by_cls.get(cls, 0) + 1
+    assert by_cls["A"] == 16
+    assert by_cls["B"] == 55
+
+
+@pytest.mark.parametrize("family", sorted(PAINS_FIXTURES))
+def test_pains_fixture_positive(family):
+    # every class-A/B pattern fires on its documented chemotype
+    cat = load_pains_catalog()
+    hits = cat.matches(_mol(PAINS_FIXTURES[family]))
+    assert family in hits, f"{family} not in {hits}"
+
+
+def test_pains_fixture_covers_classes_a_and_b():
+    ab = {n for n, c, _ in _PAINS_TABLE if c in "AB"}
+    assert ab <= set(PAINS_FIXTURES)
 
 
 def test_pains_filters_module_routes_to_catalog():
