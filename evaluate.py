@@ -196,7 +196,16 @@ def main(argv=None):
                              ".pt); when given, FCD is literal ChemNet FCD "
                              "instead of the surrogate embedder. Also "
                              "honors $DRUGGEN_CHEMNET_WEIGHTS.")
+    parser.add_argument("--platform", default=None,
+                        help="jax platform for the metric kernels (e.g. "
+                             "'cpu' to keep the evaluator off the TPU while "
+                             "a training run holds it)")
     args = parser.parse_args(argv)
+    if args.platform:
+        # must happen before any jax backend use; the env var alone is
+        # overridden by the host's sitecustomize platform pin
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     evaluate_molecules_from_files(args.gen, args.ref1, args.ref2,
                                   smiles_col=args.smiles_col,
                                   output_prefix=re.sub(

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Metric-gated checkpoint selection for a finished training run.
+
+The reference ships *selected* checkpoints rather than the last one (its
+released ``{submodel}-G.ckpt`` artifacts are chosen from training-time
+sampling quality, not final step — cf. reference train.py:259-263 cadence
+exports + the released-set statistics).  The long-horizon WGAN-GP runs here
+oscillate in validity/uniqueness (experiments/r2_scale/README.md), so
+picking the right cadence checkpoint IS the product step that turns a run
+into a release-quality generator.
+
+This tool scores every ``{epoch}-{iter}-G.ckpt`` in a run's model dir by
+sampling a FIXED number of generator batches (no loop-until-valid, so
+low-validity checkpoints cost the same as good ones) and reports
+validity, uniqueness, novelty-vs-corpus, and a combined score
+(validity * uniqueness * novelty) designed to predict 10k-scale
+uniqueness: a checkpoint must be diverse at 2k+ samples to stay unique at
+10k.
+
+Usage:
+    python scripts/select_checkpoint.py \
+        --model_dir experiments/.../models/DrugGEN \
+        --inf_smiles data/chembl_frag_300k.smi \
+        --train_smiles data/chembl_frag_300k.smi \
+        --train_drug_smiles data/akt1_drugs_2607.smi \
+        --sample_num 2048 --output selection.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--inf_smiles", required=True)
+    p.add_argument("--train_smiles", required=True)
+    p.add_argument("--train_drug_smiles", required=True)
+    p.add_argument("--sample_num", type=int, default=2048)
+    p.add_argument("--inf_batch_size", type=int, default=256)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--depth", type=int, default=1)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--mlp_ratio", type=int, default=3)
+    p.add_argument("--max_atom", type=int, default=45)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--fused_mlp", action="store_true")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--output", default="selection.json")
+    p.add_argument("--top", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from druggen_tpu.config import InferenceConfig
+    from druggen_tpu.infer.engine import InferenceEngine
+    from druggen_tpu.train import checkpoint as ckpt
+    from druggen_tpu.chem.vocab import read_smiles_file
+
+    ckpts = sorted(
+        glob.glob(os.path.join(args.model_dir, "*-G.ckpt")),
+        key=lambda s: [int(x) for x in
+                       re.findall(r"(\d+)-(\d+)-G\.ckpt$", s)[0]]
+        if re.search(r"\d+-\d+-G\.ckpt$", s) else [10**9, 0])
+    ckpts = [c for c in ckpts if re.search(r"\d+-\d+-G\.ckpt$", c)]
+    if not ckpts:
+        sys.exit(f"no cadence checkpoints ({{epoch}}-{{iter}}-G.ckpt) "
+                 f"in {args.model_dir}")
+    print(f"{len(ckpts)} cadence checkpoints in {args.model_dir}",
+          flush=True)
+
+    cfg = InferenceConfig(
+        inference_model=args.model_dir, sample_num=args.sample_num,
+        inf_smiles=args.inf_smiles, train_smiles=args.train_smiles,
+        train_drug_smiles=args.train_drug_smiles,
+        inf_batch_size=args.inf_batch_size, dim=args.dim, depth=args.depth,
+        heads=args.heads, mlp_ratio=args.mlp_ratio, max_atom=args.max_atom,
+        compute_dtype=args.compute_dtype, fused_mlp=args.fused_mlp,
+        platform=args.platform, set_seed=True, seed=42)
+
+    # one engine, params swapped per checkpoint (one compile total)
+    train_set = set(read_smiles_file(args.train_smiles))
+
+    rows = []
+    n_batches = max(1, args.sample_num // args.inf_batch_size)
+    eng = None
+    for path in ckpts:
+        if eng is None:
+            # build template by constructing the engine with the first
+            # checkpoint's params loaded manually
+            eng = _build_engine(cfg, path)
+        else:
+            eng.g_params = ckpt.load_params_auto(path, eng.g_params)
+        kept, decoded, _, _ = eng.sample(sample_num=args.sample_num,
+                                         max_batches=n_batches)
+        attempts = len(decoded)
+        validity = len(kept) / max(attempts, 1)
+        uniq_set = set(kept)
+        uniqueness = len(uniq_set) / max(len(kept), 1)
+        novel = sum(1 for s in uniq_set if s not in train_set)
+        novelty = novel / max(len(uniq_set), 1)
+        score = validity * uniqueness * novelty
+        name = os.path.basename(path)
+        rows.append({"ckpt": name, "validity": round(validity, 4),
+                     "uniqueness": round(uniqueness, 4),
+                     "novelty": round(novelty, 4),
+                     "n_valid": len(kept), "n_unique": len(uniq_set),
+                     "score": round(score, 4)})
+        print(f"{name}: validity {validity:.3f} uniqueness "
+              f"{uniqueness:.3f} novelty {novelty:.3f} "
+              f"score {score:.3f}", flush=True)
+
+    ranked = sorted(rows, key=lambda r: -r["score"])
+    out = {"model_dir": args.model_dir, "sample_num": args.sample_num,
+           "rows": rows, "ranked": ranked[:args.top]}
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=1)
+    print("\ntop checkpoints:")
+    for r in ranked[:args.top]:
+        print(f"  {r['ckpt']}: score {r['score']} "
+              f"(v {r['validity']} u {r['uniqueness']} n {r['novelty']})")
+    print(f"written {args.output}")
+
+
+def _build_engine(cfg, first_ckpt_path):
+    """Construct an InferenceEngine whose params come from an explicit
+    cadence checkpoint path (the engine's own loader expects
+    ``{submodel}-G.ckpt``)."""
+    import jax
+    import jax.numpy as jnp
+    from druggen_tpu.infer.engine import InferenceEngine
+    from druggen_tpu.models.models import Generator
+    from druggen_tpu.train import checkpoint as ckpt
+
+    # build with a template init, then overwrite with the checkpoint
+    eng = InferenceEngine(cfg, g_params="__pending__")
+    template = eng.G.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, eng.vertexes, eng.vertexes, eng.b_dim)),
+        jnp.zeros((1, eng.vertexes, eng.m_dim)))
+    eng.g_params = ckpt.load_params_auto(first_ckpt_path, template)
+    return eng
+
+
+if __name__ == "__main__":
+    main()
