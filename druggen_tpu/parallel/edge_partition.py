@@ -292,11 +292,24 @@ def make_sharded_train_step(g_model, d_model, g_opt, d_opt, mesh: Mesh, *,
 
 
 def shard_train_inputs(mesh: Mesh, *arrays):
-    """device_put label batches with the ('data','node') shardings
-    (x [B,N] -> P('data','node'); a [B,N,N] -> P('data','node',None))."""
+    """Place label batches with the ('data','node') shardings
+    (x [B,N] -> P('data','node'); a [B,N,N] -> P('data','node',None)).
+
+    Single-process: plain sharded device_put.  Multi-process (multi-host
+    composition, SURVEY §2.2): each host passes its LOCAL batch slice (the
+    per-host shard the :class:`druggen_tpu.data.dataset.BatchIterator`
+    yields) and the global array is assembled without any cross-host data
+    movement — each host's devices must own whole 'data' rows of the mesh
+    (``node`` axis local to a host), which :class:`Trainer` guards."""
+    multiproc = jax.process_count() > 1
     out = []
     for arr in arrays:
         spec = (P("data", "node") if np.ndim(arr) == 2
                 else P("data", "node", None))
-        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            out.append(jax.make_array_from_process_local_data(
+                sh, np.asarray(arr)))
+        else:
+            out.append(jax.device_put(arr, sh))
     return tuple(out)

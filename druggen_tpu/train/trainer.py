@@ -94,9 +94,19 @@ class Trainer:
             if cfg.dropout or cfg.ddropout:
                 raise ValueError("mesh_node > 1 requires dropout=0 "
                                  "(the reference default)")
-            if cfg.distributed:
-                raise NotImplementedError(
-                    "mesh_node > 1 is single-host for now")
+            if cfg.distributed and self.num_hosts > 1:
+                # multi-host composition: the ('data','node') mesh is laid
+                # out host-major (make_edge_mesh reshapes jax.devices(),
+                # which orders devices by process), so each host owns whole
+                # 'data' rows iff node_k divides its local device count —
+                # then shard_train_inputs assembles the global batch from
+                # per-host BatchIterator shards with no cross-host copies.
+                n_local = len(jax.local_devices())
+                if n_local % self.node_k:
+                    raise ValueError(
+                        f"mesh_node={self.node_k} must divide the per-host "
+                        f"device count ({n_local}) so 'data' rows do not "
+                        f"straddle hosts")
             if self.vertexes % self.node_k:
                 from druggen_tpu.data.dataset import pad_vertices
 

@@ -90,7 +90,7 @@ def main(argv=None):
     train_set = set(read_smiles_file(args.train_smiles))
 
     rows = []
-    n_batches = max(1, args.sample_num // args.inf_batch_size)
+    n_batches = max(1, -(-args.sample_num // args.inf_batch_size))
     eng = None
     for path in ckpts:
         if eng is None:

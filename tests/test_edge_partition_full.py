@@ -180,7 +180,99 @@ def test_sharded_step_composes_with_scan_and_remat():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_generator_forward_matches():
+def _assemble_from_host_slices(mesh, spec, host_arrays):
+    """Emulate multi-host global-batch assembly on a single process.
+
+    ``host_arrays`` is one equal batch-axis slice per simulated host.  Each
+    mesh device gets exactly the shard it would receive from
+    ``jax.make_array_from_process_local_data`` on a real multi-host run
+    (host-major device order, whole 'data' rows per host): we look up the
+    device's global index slices, map the batch slice into the owning
+    host's local array, and build the global array from the single-device
+    shards."""
+    from jax.sharding import NamedSharding
+
+    per_host = host_arrays[0].shape[0]
+    global_shape = (per_host * len(host_arrays),) + host_arrays[0].shape[1:]
+    sh = NamedSharding(mesh, spec)
+    shards = []
+    for dev, idx in sh.devices_indices_map(global_shape).items():
+        b_sl = idx[0]
+        host = b_sl.start // per_host
+        assert b_sl.stop <= (host + 1) * per_host, \
+            "'data' row straddles simulated hosts — layout bug"
+        local_sl = (slice(b_sl.start - host * per_host,
+                          b_sl.stop - host * per_host),) + idx[1:]
+        shards.append(jax.device_put(host_arrays[host][local_sl], dev))
+    return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
+
+
+def test_sharded_step_from_simulated_host_slices():
+    """Multi-host x mesh_node composition (round-3 VERDICT item 8): the
+    full WGAN-GP sharded step fed by per-host batch slices — assembled
+    exactly as jax.make_array_from_process_local_data would on 2 hosts x
+    (2 data x 2 node) devices each — matches the single-device step on the
+    concatenated global batch."""
+    from jax.sharding import PartitionSpec as P
+
+    g_model, d_model = _models()
+    g_opt = optax.sgd(1e-2)
+    d_opt = optax.sgd(1e-2)
+    key = jax.random.PRNGKey(3)
+    state0 = init_state(g_model, d_model, g_opt, d_opt,
+                        jax.random.PRNGKey(1), N, M_DIM, B_DIM)
+    step_ref = make_train_step(g_model, d_model, g_opt, d_opt,
+                               lambda_gp=10.0, m_dim=M_DIM, b_dim=B_DIM,
+                               donate=False)
+    mesh = make_edge_mesh(4, 2)  # 2 simulated hosts x 2 data rows each
+    step_sh = make_sharded_train_step(g_model, d_model, g_opt, d_opt, mesh,
+                                      lambda_gp=10.0, m_dim=M_DIM,
+                                      b_dim=B_DIM, donate=False)
+
+    x, a = _batch(10)
+    dx, da = _batch(100)
+    # per-host BatchIterator shards: host h sees rows [h*B/2, (h+1)*B/2)
+    half = B // 2
+    spec_x, spec_a = P("data", "node"), P("data", "node", None)
+    xs = _assemble_from_host_slices(mesh, spec_x, [x[:half], x[half:]])
+    as_ = _assemble_from_host_slices(mesh, spec_a, [a[:half], a[half:]])
+    dxs = _assemble_from_host_slices(mesh, spec_x, [dx[:half], dx[half:]])
+    das = _assemble_from_host_slices(mesh, spec_a, [da[:half], da[half:]])
+
+    _, m_a, (nl_a, el_a) = step_ref(state0, key, x, a, dx, da)
+    _, m_b, (nl_b, el_b) = step_sh(state0, key, xs, as_, dxs, das)
+    np.testing.assert_allclose(float(m_a["d_loss"]), float(m_b["d_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m_a["g_loss"]), float(m_b["g_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nl_b), np.asarray(nl_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(el_b), np.asarray(el_a),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batch_iterator_host_shards_cover_global_batch():
+    """The union of per-host BatchIterator batches is a disjoint cover of
+    the epoch permutation — the multi-host feeding contract the sharded
+    step relies on."""
+    from druggen_tpu.data.dataset import BatchIterator, GraphData
+
+    m = 32
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, M_DIM, size=(m, N)).astype(np.int8)
+    x[:, 0] = np.arange(m)  # row identity in column 0
+    data = GraphData(x=x,
+                     a=rng.integers(0, B_DIM, size=(m, N, N)).astype(np.int8),
+                     smiles=[f"s{i}" for i in range(m)], vocab=None,
+                     max_atom=N)
+    its = [BatchIterator(data, batch_size=4, seed=7, host_id=h, num_hosts=2)
+           for h in range(2)]
+    seen = []
+    for it in its:
+        for x_b, _a_b in it.epoch_batches(0):
+            seen.extend(x_b[:, 0].tolist())
+    # 2 hosts x (16//4)=4 batches x 4 rows = 32 rows, disjoint cover
+    assert sorted(seen) == list(range(m))
     """The node-sharded Generator forward inside shard_map equals the
     unsharded apply (logits reassembled from shards)."""
     from jax.sharding import PartitionSpec as P
