@@ -12,9 +12,14 @@ the published *family* structure:
   comments.  Fourteen names follow the catalogue's regId naming directly;
   two (flagged ``name-reconstructed``) are the best available
   reconstruction of the remaining ≥150-hit families.
-- **Class B** enumerates 55 mid-frequency (16–149 hit) families.  Names
-  marked with a trailing comment ``regId`` follow catalogue naming; the
-  rest are systematic family names for the same chemistry.
+- **Class B** enumerates the mid-frequency (16–149 hit) tier by regId:
+  56 entries covering the catalogue's 55 class-B filters (the
+  ``het_thio`` chemistry is split across ring sizes here).  Entries
+  with a trailing ``# regId`` comment use catalogue regId naming; the
+  rest are systematic family names for the same chemistry whose exact
+  catalogue regId could not be verified offline.  Per-entry hit counts
+  inside the 16–149 band are NOT reproduced — the SI table is not
+  shippable, and inventing counts would be worse than omitting them.
 - **Class C** keeps representative low-frequency families (the original
   class C holds hundreds of 0–15-hit singletons; the representative set
   tracks drug-like pass rates closely while rare-singleton regIds are
@@ -80,7 +85,7 @@ _PAINS_TABLE: tuple[tuple[str, str, str], ...] = (
     ("anil_alk_ene", "A", "[CX3](=[CX3])[NX3]c1ccccc1"),
     # ======================= class B: 55 mid-frequency families ========
     ("catechol_A", "B", "[OX2H1]c1ccccc1[OX2H1]"),                # regId
-    ("hydroquinone_A", "B", "[OX2H1]c1ccc([OX2H1])cc1"),          # regId
+    ("hydroquin_A", "B", "[OX2H1]c1ccc([OX2H1])cc1"),             # regId
     # thiophene_amino_Aa: 2-aminothiophene-3-carbonyl
     ("thiophene_amino_A", "B", "[NX3H2]c1sccc1[CX3]=[OX1]"),      # regId
     # rhod_sat_A: saturated rhodanine ring
@@ -188,9 +193,10 @@ _PAINS_TABLE: tuple[tuple[str, str, str], ...] = (
     # arylsulfonyl hydrazone
     ("sulfonamide_B", "B",
      "[SX4](=[OX1])(=[OX1])[NX3H1][NX2]=[CX3]"),                  # regId
-    # cyclic thioxo adjacent to NH, six-membered (het_thio_66 family)
-    ("het_thio_66_A", "C",
-     "[SX1]=[CX3]1[NX3][CX3](=[OX1])[CX4][CX4][NX3]1"),
+    # cyclic thioxo adjacent to NH, six-membered (het_thio_66 family —
+    # mid-frequency in Baell & Holloway, hence class B)
+    ("het_thio_66_A", "B",
+     "[SX1]=[CX3]1[NX3][CX3](=[OX1])[CX4][CX4][NX3]1"),               # regId
     # 2-thioxo-imidazolidin-4-one (thiohydantoin)
     ("het_thio_5_A", "B",
      "[SX1]=[CX3]1[NX3][CX3](=[OX1])[CX4][NX3]1"),                # regId
@@ -270,7 +276,7 @@ PAINS_FIXTURES: dict[str, str] = {
     "anil_alk_ene": "C=CN(C)c1ccccc1",
     # class B
     "catechol_A": "Oc1ccccc1O",
-    "hydroquinone_A": "Oc1ccc(O)cc1",
+    "hydroquin_A": "Oc1ccc(O)cc1",
     "thiophene_amino_A": "Nc1sccc1C(C)=O",
     "rhod_sat_A": "O=C1CSC(=S)N1",
     "ene_one_ene_A": "CC=CC(=O)C=CC",

@@ -183,13 +183,14 @@ def test_pains_table_all_compile():
 
 
 def test_pains_class_counts():
-    # class A enumerates the 16 >=150-hit regIds; class B the 55
-    # mid-frequency families (Baell & Holloway 2010 catalogue structure)
+    # class A enumerates the 16 >=150-hit regIds; class B the 55-regId
+    # mid-frequency tier as 56 entries (het_thio split across ring
+    # sizes) — Baell & Holloway 2010 catalogue structure
     by_cls = {}
     for _name, cls, _sm in _PAINS_TABLE:
         by_cls[cls] = by_cls.get(cls, 0) + 1
     assert by_cls["A"] == 16
-    assert by_cls["B"] == 55
+    assert by_cls["B"] == 56
 
 
 @pytest.mark.parametrize("family", sorted(PAINS_FIXTURES))
