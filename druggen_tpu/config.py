@@ -37,6 +37,9 @@ class TrainConfig:
     mlp_ratio: int = 3
     dropout: float = 0.0
     ddropout: float = 0.0
+    d_head_mult: int = 1                 # widen the critic head 64/32/16 ->
+    # 64m/32m/16m — ablation-only knob (r4 oscillation study); 1 is the
+    # reference topology and the ckpt-interop contract
     lambda_gp: float = 10.0
 
     # Training (reference train.py:424-433)

@@ -144,6 +144,10 @@ class Discriminator(nn.Module):
     fused_mlp: bool = False
     scan_layers: bool = False
     node_axis: str | None = None
+    # head_mult widens the critic head (64/32/16 -> 64m/32m/16m) for the
+    # oscillation-ablation study ONLY; 1 is the reference topology
+    # (models.py:180-209) and the checkpoint-interop contract.
+    head_mult: int = 1
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -160,14 +164,16 @@ class Discriminator(nn.Module):
 
             node = gather_node_rows(node, self.node_axis)
         b = node.shape[0]
+        m = self.head_mult
         flat = node.reshape(b, -1)            # [B, N*dim]
-        h = _dense(64, self.vertexes * self.dim, self.dtype, name="mlp_fc1")(flat)
+        h = _dense(64 * m, self.vertexes * self.dim, self.dtype,
+                   name="mlp_fc1")(flat)
         h = act(h)
-        h = _dense(32, 64, self.dtype, name="mlp_fc2")(h)
+        h = _dense(32 * m, 64 * m, self.dtype, name="mlp_fc2")(h)
         h = act(h)
-        h = _dense(16, 32, self.dtype, name="mlp_fc3")(h)
+        h = _dense(16 * m, 32 * m, self.dtype, name="mlp_fc3")(h)
         h = act(h)
-        return _dense(1, 16, self.dtype, name="mlp_fc4")(h)
+        return _dense(1, 16 * m, self.dtype, name="mlp_fc4")(h)
 
 
 class SimpleDisc(nn.Module):

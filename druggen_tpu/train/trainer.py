@@ -140,6 +140,7 @@ class Trainer:
                            scan_layers=scan_layers, **common)
         self.D = Discriminator(dropout=cfg.ddropout, depth=cfg.ddepth,
                                use_pallas=False, scan_layers=scan_layers,
+                               head_mult=getattr(cfg, "d_head_mult", 1),
                                **common)
         self.g_opt, self.d_opt = make_optimizers(cfg)
 
