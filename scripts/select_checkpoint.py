@@ -58,6 +58,22 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--output", default="selection.json")
     p.add_argument("--top", type=int, default=5)
+    # ---- finalist quality phase (r3 VERDICT item 3): rescore the top-K
+    # screen checkpoints at a deeper sample with IntDiv/QED/SA terms so
+    # the selector targets the released-set statistics, not just
+    # validity x uniqueness x novelty
+    p.add_argument("--finalists", type=int, default=0,
+                   help="rescore the top-K screen checkpoints with the "
+                        "quality terms (0 disables)")
+    p.add_argument("--finalist_samples", type=int, default=8192)
+    p.add_argument("--prop_samples", type=int, default=2048,
+                   help="QED/SA are averaged over this many of the "
+                        "finalist's unique valid molecules (descriptor "
+                        "cost cap)")
+    p.add_argument("--target_intdiv", type=float, default=0.876,
+                   help="released AKT1 set IntDiv under this evaluator")
+    p.add_argument("--target_qed", type=float, default=0.518)
+    p.add_argument("--target_sa", type=float, default=1.94)
     args = p.parse_args(argv)
 
     from druggen_tpu.config import InferenceConfig
@@ -121,12 +137,78 @@ def main(argv=None):
     ranked = sorted(rows, key=lambda r: -r["score"])
     out = {"model_dir": args.model_dir, "sample_num": args.sample_num,
            "rows": rows, "ranked": ranked[:args.top]}
+
+    if args.finalists > 0:
+        import math
+
+        from druggen_tpu.chem.descriptors import qed as qed_fn
+        from druggen_tpu.chem.descriptors import sa_score
+        from druggen_tpu.chem.fingerprints import fingerprints_for_smiles
+        from druggen_tpu.chem.smiles import mol_from_smiles
+        from druggen_tpu.metrics.molecular import internal_diversity
+
+        by_name = {os.path.basename(p): p for p in ckpts}
+        fin_rows = []
+        nb = max(1, -(-args.finalist_samples // args.inf_batch_size))
+        for r in ranked[:args.finalists]:
+            eng.g_params = ckpt.load_params_auto(by_name[r["ckpt"]],
+                                                 eng.g_params)
+            kept, decoded, _, _ = eng.sample(
+                sample_num=args.finalist_samples, max_batches=nb)
+            validity = len(kept) / max(len(decoded), 1)
+            uniq = list(dict.fromkeys(kept))
+            uniqueness = len(uniq) / max(len(kept), 1)
+            novelty = (sum(1 for s in uniq if s not in train_set)
+                       / max(len(uniq), 1))
+            fps = fingerprints_for_smiles(uniq[:4096]).astype(np.float32)
+            intdiv = internal_diversity(fps)[0] if len(fps) > 1 else 0.0
+            qeds, sas = [], []
+            for s in uniq[:args.prop_samples]:
+                m = mol_from_smiles(s)
+                if m is None:
+                    continue
+                qeds.append(qed_fn(m))
+                sas.append(sa_score(m))
+            qed_m = float(np.mean(qeds)) if qeds else 0.0
+            sa_m = float(np.mean(sas)) if sas else 10.0
+            # quality terms anchored to the released-set statistics:
+            # IntDiv ramps linearly to the target, QED is a Gaussian
+            # around it, SA penalizes only the harder-than-target side
+            intdiv_term = min(intdiv / args.target_intdiv, 1.0)
+            qed_term = math.exp(-((qed_m - args.target_qed) / 0.08) ** 2)
+            sa_term = math.exp(-max(0.0, sa_m - args.target_sa) / 1.0)
+            fscore = (validity * uniqueness * novelty
+                      * intdiv_term * qed_term * sa_term)
+            row = {"ckpt": r["ckpt"], "validity": round(validity, 4),
+                   "uniqueness": round(uniqueness, 4),
+                   "novelty": round(novelty, 4),
+                   "intdiv": round(intdiv, 4), "qed": round(qed_m, 4),
+                   "sa": round(sa_m, 4),
+                   "n_prop_samples": len(qeds),
+                   "final_score": round(fscore, 4)}
+            fin_rows.append(row)
+            print(f"finalist {r['ckpt']}: v {validity:.3f} u "
+                  f"{uniqueness:.3f} n {novelty:.3f} IntDiv {intdiv:.3f} "
+                  f"QED {qed_m:.3f} SA {sa_m:.2f} -> {fscore:.4f}",
+                  flush=True)
+        fin_rows.sort(key=lambda r: -r["final_score"])
+        out["finalist_samples"] = args.finalist_samples
+        out["quality_targets"] = {"intdiv": args.target_intdiv,
+                                  "qed": args.target_qed,
+                                  "sa": args.target_sa}
+        out["finalists"] = fin_rows
+
     with open(args.output, "w") as f:
         json.dump(out, f, indent=1)
     print("\ntop checkpoints:")
     for r in ranked[:args.top]:
         print(f"  {r['ckpt']}: score {r['score']} "
               f"(v {r['validity']} u {r['uniqueness']} n {r['novelty']})")
+    if args.finalists > 0 and out.get("finalists"):
+        print("finalist ranking (quality-extended score):")
+        for r in out["finalists"]:
+            print(f"  {r['ckpt']}: {r['final_score']} (IntDiv {r['intdiv']} "
+                  f"QED {r['qed']} SA {r['sa']})")
     print(f"written {args.output}")
 
 
