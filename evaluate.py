@@ -150,7 +150,9 @@ def read_gen_csv(path: str, smiles_col: str = "SMILES") -> list[str]:
 def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
                                   smiles_col="SMILES",
                                   output_prefix="results", n_jobs: int = 8,
-                                  chemnet_weights: str | None = None):
+                                  chemnet_weights: str | None = None,
+                                  ref1_sample: int = 0,
+                                  ref1_sample_seed: int = 0):
     gen = read_gen_csv(gen_path, smiles_col)
     ref1 = read_smiles_file(ref_path_1)
     ref2 = read_smiles_file(ref_path_2) if ref_path_2 else None
@@ -158,15 +160,32 @@ def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
         raise ValueError("No SMILES found in generated set")
     if not ref1:
         raise ValueError("No SMILES found in reference set 1")
-    print(f"Generated: {len(gen)}  Ref1: {len(ref1)}"
+    ref1_file_size = len(ref1)
+    if ref1_sample and ref1_sample < len(ref1):
+        # documented subsample for very large training-corpus references
+        # (the novelty term still uses the FULL ref1 set — set membership
+        # is cheap; only the kernel metrics use the sample)
+        rng = np.random.default_rng(ref1_sample_seed)
+        idx = rng.choice(len(ref1), size=ref1_sample, replace=False)
+        ref1_sampled = [ref1[i] for i in idx]
+        print(f"Ref1 sampled {ref1_sample} of {ref1_file_size} "
+              f"(seed {ref1_sample_seed}) for kernel metrics")
+    else:
+        ref1_sampled = ref1
+    print(f"Generated: {len(gen)}  Ref1: {len(ref1_sampled)}"
           + (f"  Ref2: {len(ref2)}" if ref2 else ""))
-    ev = MoleculeEvaluator(gen, ref1, ref2, n_jobs=n_jobs,
+    ev = MoleculeEvaluator(gen, ref1_sampled, ref2, n_jobs=n_jobs,
                            chemnet_weights=chemnet_weights)
     results = ev.evaluate_all()
+    if ref1_sample and ref1_sample < ref1_file_size:
+        # recompute novelty against the FULL reference file
+        results["novelty_ref1"] = novelty(gen, ref1)
     results["fcd_is_literal"] = ev.fcd_is_literal
     results.update({
         "n_generated": len(gen),
-        "n_reference_1": len(ref1),
+        "n_reference_1": ref1_file_size,
+        "n_reference_1_kernel_sample": len(ref1_sampled),
+        "ref1_sample_seed": ref1_sample_seed if ref1_sample else None,
         "n_reference_2": len(ref2) if ref2 else 0,
     })
     formatted = {k: round(v, 3) if isinstance(v, float) else v
@@ -191,6 +210,13 @@ def main(argv=None):
                         help="output prefix; a trailing .json/.csv is "
                              "stripped")
     parser.add_argument("--n-jobs", type=int, default=8)
+    parser.add_argument("--ref1-sample", type=int, default=0,
+                        help="subsample ref1 to N molecules for the kernel "
+                             "metrics (FCD/Frag/Scaf/SNN) when the full "
+                             "training corpus is too large; novelty always "
+                             "uses the full file.  Recorded in the JSON as "
+                             "n_reference_1_kernel_sample")
+    parser.add_argument("--ref1-sample-seed", type=int, default=0)
     parser.add_argument("--chemnet-weights", default=None,
                         help="path to ChemNet weights (.npz or fcd_torch "
                              ".pt); when given, FCD is literal ChemNet FCD "
@@ -211,7 +237,9 @@ def main(argv=None):
                                   output_prefix=re.sub(
                                       r"\.(json|csv)$", "", args.output),
                                   n_jobs=args.n_jobs,
-                                  chemnet_weights=args.chemnet_weights)
+                                  chemnet_weights=args.chemnet_weights,
+                                  ref1_sample=args.ref1_sample,
+                                  ref1_sample_seed=args.ref1_sample_seed)
     prefix = re.sub(r"\.(json|csv)$", "", args.output)
     print(f"Evaluation complete. Results in {prefix}.json/.csv")
 
