@@ -81,8 +81,26 @@ def read_smiles_file(path: str) -> list[str]:
     return out
 
 
-def build_vocab(smiles_iter, max_atom: int) -> Vocab:
-    """Scan SMILES, build the vocabulary (reference utils.py:83-109)."""
+def build_vocab(smiles_iter, max_atom: int, use_native: bool = True) -> Vocab:
+    """Scan SMILES, build the vocabulary (reference utils.py:83-109).
+
+    Uses the multithreaded C++ scanner (druggen_tpu/native dg_vocab_scan)
+    when built — same parse/sanitize/size semantics as the Python loop
+    (cross-validated in tests/test_native.py); the reference pays this scan
+    through RDKit's C++ core (src/data/utils.py:83-109)."""
+    if use_native:
+        try:
+            from druggen_tpu import native
+
+            if native.vocab_scan_available():
+                smiles_list = (smiles_iter if isinstance(smiles_iter, list)
+                               else list(smiles_iter))
+                atoms, bonds = native.vocab_scan_native(smiles_list, max_atom)
+                atoms = sorted(set(atoms) | {0})
+                return Vocab(tuple(atoms),
+                             tuple([0] + sorted(set(bonds) - {0})))
+        except RuntimeError:
+            pass  # fall back to Python
     atom_labels: set[int] = set()
     bond_labels: set[int] = set()
     for smi in smiles_iter:

@@ -52,6 +52,13 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    if hasattr(lib, "dg_vocab_scan"):  # absent in pre-r4 prebuilt .so
+        lib.dg_vocab_scan.restype = None
+        lib.dg_vocab_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -115,3 +122,33 @@ def featurize_batch_native(smiles_list, vocab, max_atom: int,
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
     kept = np.nonzero(keep > 0)[0]
     return X[kept], A[kept], kept.tolist()
+
+
+def vocab_scan_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dg_vocab_scan")
+
+
+def vocab_scan_native(smiles_list, max_atom: int, n_threads: int = 0):
+    """Multithreaded vocabulary scan: returns (atomic_nums, bond_types) as
+    sorted lists of ints present across molecules that parse and have
+    <= max_atom atoms (build_vocab semantics, reference
+    src/data/utils.py:83-109)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dg_vocab_scan"):
+        raise RuntimeError("native vocab scan unavailable")
+    buf = "\n".join(smiles_list).encode()
+    offsets = np.zeros(len(smiles_list), dtype=np.int64)
+    pos = 0
+    for i, s in enumerate(smiles_list):
+        offsets[i] = pos
+        pos += len(s.encode()) + 1
+    atom_mask = np.zeros(256, dtype=np.uint8)
+    bond_mask = np.zeros(64, dtype=np.uint8)
+    lib.dg_vocab_scan(
+        buf, len(buf), len(smiles_list),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_atom,
+        atom_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bond_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+    return (np.nonzero(atom_mask)[0].tolist(),
+            np.nonzero(bond_mask)[0].tolist())

@@ -14,6 +14,7 @@
 // Build: make -C druggen_tpu/native   (produces libdruggen_chem.so)
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cctype>
 #include <cstdint>
@@ -777,6 +778,54 @@ void dg_featurize_batch(const char* buf, int64_t buf_len, int64_t n_lines,
   std::vector<std::thread> pool;
   for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+}
+
+// Vocabulary scan over a \n-separated SMILES buffer (multithreaded).
+// Mirrors druggen_tpu/chem/vocab.py build_vocab semantics (reference
+// src/data/utils.py:83-109): keep molecules that parse+sanitize and have
+// <= max_atom atoms (no connectivity filter here, unlike dg_featurize),
+// union atomic numbers / bond-type ints into the output masks.
+// atom_mask: 256 bytes; bond_mask: 64 bytes.  A set byte => label present.
+void dg_vocab_scan(const char* buf, int64_t buf_len, int64_t n_lines,
+                   const int64_t* line_offsets, int max_atom,
+                   uint8_t* atom_mask, uint8_t* bond_mask, int n_threads) {
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  std::vector<std::array<uint8_t, 256>> amasks(n_threads);
+  std::vector<std::array<uint8_t, 64>> bmasks(n_threads);
+  auto worker = [&](int t) {
+    amasks[t].fill(0);
+    bmasks[t].fill(0);
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_lines) break;
+      int64_t off = line_offsets[i];
+      int64_t end = (i + 1 < n_lines) ? line_offsets[i + 1] : buf_len;
+      std::string s(buf + off, buf + end);
+      size_t start = s.find_first_not_of(" \t\r\n");
+      if (start == std::string::npos) continue;
+      size_t stop = s.find_first_of(" \t\r\n", start);
+      s = s.substr(start, stop == std::string::npos ? stop : stop - start);
+      if (s.empty()) continue;
+      Parser p(s);
+      if (!p.run()) continue;
+      Mol& m = p.mol;
+      if (!sanitize(m).ok) continue;
+      if ((int)m.atoms.size() > max_atom) continue;
+      for (const auto& a : m.atoms)
+        if (a.z >= 0 && a.z < 256) amasks[t][a.z] = 1;
+      for (const auto& b : m.bonds)
+        if (b.type >= 0 && b.type < 64) bmasks[t][b.type] = 1;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
+  for (auto& th : pool) th.join();
+  for (int t = 0; t < n_threads; ++t) {
+    for (int k = 0; k < 256; ++k) atom_mask[k] |= amasks[t][k];
+    for (int k = 0; k < 64; ++k) bond_mask[k] |= bmasks[t][k];
+  }
 }
 
 int dg_abi_version() { return 1; }

@@ -76,3 +76,19 @@ def test_batch_deterministic_under_threads(vocab):
     assert k1 == k8
     np.testing.assert_array_equal(X1, X8)
     np.testing.assert_array_equal(A1, A8)
+
+
+def test_vocab_scan_parity():
+    """dg_vocab_scan unions exactly the labels the Python build_vocab sees,
+    including bracket/charged molecules and the size filter."""
+    if not native.vocab_scan_available():
+        pytest.skip("vocab scan entry point not in this .so")
+    corpus = (DRUGLIKE_SMILES + TARGET_SMILES + generate_corpus(300, seed=7)
+              + ["C#N", "[O-]C(=O)C", "garbage", "C" * 60, "c1ccccc1"])
+    v_py = build_vocab(corpus, MAX_ATOM, use_native=False)
+    v_cc = build_vocab(corpus, MAX_ATOM, use_native=True)
+    assert v_py == v_cc
+    # scan honors max_atom: tiny cap excludes big molecules' labels
+    v_small_py = build_vocab(corpus, 8, use_native=False)
+    v_small_cc = build_vocab(corpus, 8, use_native=True)
+    assert v_small_py == v_small_cc
