@@ -180,10 +180,26 @@ def _add_fields(parser: argparse.ArgumentParser, cfg_cls, skip=()) -> None:
             parser.add_argument(name, type=type(f.default), default=f.default)
 
 
+_DTYPE_ALIASES = {"float32": "float32", "f32": "float32", "fp32": "float32",
+                  "bfloat16": "bfloat16", "bf16": "bfloat16"}
+
+
+def _normalize_dtype(parser: argparse.ArgumentParser, value: str) -> str:
+    """Canonicalize --compute_dtype, rejecting unknown strings (an unknown
+    value used to fall back to float32 silently — a 74% throughput cliff
+    for a typo like 'bf16', which is now an accepted alias)."""
+    canon = _DTYPE_ALIASES.get(value.lower())
+    if canon is None:
+        parser.error(f"--compute_dtype must be one of "
+                     f"{sorted(set(_DTYPE_ALIASES))}, got {value!r}")
+    return canon
+
+
 def parse_train_args(argv=None) -> TrainConfig:
     parser = argparse.ArgumentParser(description="druggen_tpu training")
     _add_fields(parser, TrainConfig)
     ns = parser.parse_args(argv)
+    ns.compute_dtype = _normalize_dtype(parser, ns.compute_dtype)
     cfg = TrainConfig(**vars(ns))
     # reference guard train.py:454-459
     if cfg.submodel == "DrugGEN" and not cfg.drug_raw_file:
@@ -199,6 +215,7 @@ def parse_inference_args(argv=None) -> InferenceConfig:
     parser = argparse.ArgumentParser(description="druggen_tpu inference")
     _add_fields(parser, InferenceConfig)
     ns = parser.parse_args(argv)
+    ns.compute_dtype = _normalize_dtype(parser, ns.compute_dtype)
     cfg = InferenceConfig(**vars(ns))
     if not cfg.inf_smiles:
         parser.error("--inf_smiles is required")

@@ -15,7 +15,7 @@ exec python train.py --submodel DrugGEN \
   --drug_raw_file data/akt1_drugs_2607.smi \
   --batch_size 128 --epoch 5 \
   --log_sample_step 500 \
-  --compute_dtype bf16 --fused_mlp \
+  --compute_dtype bfloat16 --fused_mlp \
   --set_seed --seed 42 \
   --exp_name "abl_${name}" \
   --log_dir "experiments/r4_ablation/${name}/logs" \

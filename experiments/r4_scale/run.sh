@@ -10,7 +10,7 @@ exec python train.py --submodel DrugGEN \
   --raw_file data/chembl_frag_1m6.smi \
   --drug_raw_file data/akt1_drugs_2607.smi \
   --batch_size 128 --epoch 10 \
-  --compute_dtype bf16 --fused_mlp \
+  --compute_dtype bfloat16 --fused_mlp \
   --set_seed --seed 42 \
   --exp_name r4_scale \
   --log_dir experiments/r4_scale/logs \
