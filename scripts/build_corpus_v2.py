@@ -47,27 +47,44 @@ def main() -> None:
     parents = read_smiles_file(args.parents)
     print(f"{len(parents)} parents from {args.parents}")
     t0 = time.time()
-    per = -(-int(args.n * 1.05) // args.jobs)  # 5% slack for cross-worker dups
-    jobs = [(parents, per, args.seed + k, k == 0,
-             not args.no_roundtrip_guard) for k in range(args.jobs)]
-    if args.jobs == 1:
-        chunks = [_worker(jobs[0])]
-    else:
-        with Pool(args.jobs) as pool:
-            chunks = pool.map(_worker, jobs)
+    # 12% slack: cross-worker duplication measured at ~7% on a 1.6M build
+    # (the 5% slack of the first version fell short there)
+    per = -(-int(args.n * 1.12) // args.jobs)
     seen: set[str] = set()
     out: list[str] = []
-    for chunk in chunks:
-        for smi in chunk:
-            if smi not in seen:
-                seen.add(smi)
-                out.append(smi)
-            if len(out) >= args.n:
-                break
-        if len(out) >= args.n:
-            break
-    if len(out) < args.n:
-        raise RuntimeError(f"only {len(out)} unique after merge")
+
+    def merge(chunks) -> int:
+        produced = 0
+        for chunk in chunks:
+            for smi in chunk:
+                produced += 1
+                if smi not in seen and len(out) < args.n:
+                    seen.add(smi)
+                    out.append(smi)
+        return produced
+
+    def run_jobs(jobs):
+        if len(jobs) == 1:
+            return [_worker(jobs[0])]
+        with Pool(len(jobs)) as pool:
+            return pool.map(_worker, jobs)
+
+    jobs = [(parents, per, args.seed + k, k == 0,
+             not args.no_roundtrip_guard) for k in range(args.jobs)]
+    produced = merge(run_jobs(jobs))
+    print(f"pass 1: {produced} produced, {len(out)} unique "
+          f"({1 - len(out)/max(produced,1):.1%} cross-worker dup)")
+    # top-up passes with fresh seeds until the target is met — never
+    # discard completed work over a slack misestimate
+    next_seed = args.seed + 1000
+    while len(out) < args.n:
+        missing = args.n - len(out)
+        per = -(-int(missing * 1.3) // args.jobs)
+        jobs = [(parents, per, next_seed + k, False,
+                 not args.no_roundtrip_guard) for k in range(args.jobs)]
+        next_seed += args.jobs
+        merge(run_jobs(jobs))
+        print(f"top-up (seed {next_seed - args.jobs}): now {len(out)} unique")
     with open(args.out, "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote {args.out}: {len(out)} molecules in {time.time()-t0:.0f}s")
