@@ -52,18 +52,58 @@ def fraction_unique(gen: list[str | None], k: int | None = None,
     return len(set(canonic)) / len(canonic)
 
 
-def novelty(gen: list[str | None], train: list[str]) -> float:
+def canonical_set(smiles: list[str], n_jobs: int = 1,
+                  cache_for: str | None = None) -> set[str]:
+    """Canonical forms of a SMILES list as a set, parallelized over
+    ``n_jobs`` workers and optionally disk-cached.
+
+    ``cache_for`` names the source *file* the list was read from; the
+    canonical set is cached beside the dataset caches (``data/cache/``)
+    keyed by basename+size+mtime, so corpus-scale references (the 1.59M
+    training file) are canonicalized once per round, not once per
+    evaluation — this term dominated evaluate.py wall time at reference
+    scale."""
+    import os
+
+    cache_path = None
+    if cache_for and os.path.exists(cache_for):
+        st = os.stat(cache_for)
+        base = os.path.splitext(os.path.basename(cache_for))[0]
+        cache_path = os.path.join(
+            os.path.dirname(cache_for) or ".", "cache",
+            f"canon_{base}_{st.st_size}_{int(st.st_mtime)}.txt")
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                return set(f.read().splitlines())
+    from druggen_tpu.metrics.parallel_map import canonical_of, mapper
+
+    out = set(mapper(n_jobs)(canonical_of, smiles))
+    out.discard(None)
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("\n".join(sorted(out)))
+        os.replace(tmp, cache_path)
+    return out
+
+
+def novelty(gen: list[str | None], train: list[str],
+            train_canon: set[str] | None = None) -> float:
     """Fraction of canonical gen molecules absent from the train set
     (reference utils.py:530-547).  NOTE reference compares canonical gen
     strings against the *raw* train strings; we canonicalize both sides,
-    which is strictly more correct (and matches on canonical corpora)."""
+    which is strictly more correct (and matches on canonical corpora).
+    ``train_canon`` short-circuits the train-side canonicalization with a
+    precomputed :func:`canonical_set`."""
     gen_set = {canonical_smiles(s) for s in gen if s is not None}
     gen_set.discard(None)
     if not gen_set:
         return 0.0
     train_set = set(train)
-    train_canon = {canonical_smiles(s) for s in train}
-    train_canon.discard(None)
+    if train_canon is None:
+        train_canon = {canonical_smiles(s) for s in train}
+        train_canon = {c for c in train_canon if c is not None}
     known = train_set | train_canon
     return len({g for g in gen_set if g not in known}) / len(gen_set)
 

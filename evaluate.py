@@ -178,8 +178,14 @@ def evaluate_molecules_from_files(gen_path, ref_path_1, ref_path_2=None,
                            chemnet_weights=chemnet_weights)
     results = ev.evaluate_all()
     if ref1_sample and ref1_sample < ref1_file_size:
-        # recompute novelty against the FULL reference file
-        results["novelty_ref1"] = novelty(gen, ref1)
+        # recompute novelty against the FULL reference file; the ref-side
+        # canonical set is parallelized + disk-cached (corpus-scale ref
+        # canonicalization dominated wall time otherwise)
+        from druggen_tpu.metrics.molecular import canonical_set
+
+        results["novelty_ref1"] = novelty(
+            gen, ref1, train_canon=canonical_set(ref1, n_jobs=n_jobs,
+                                                 cache_for=ref_path_1))
     results["fcd_is_literal"] = ev.fcd_is_literal
     results.update({
         "n_generated": len(gen),

@@ -38,6 +38,23 @@ def test_novelty():
     assert novelty([], train) == 0.0
 
 
+def test_novelty_precomputed_canonical_set(tmp_path):
+    from druggen_tpu.metrics.molecular import canonical_set
+
+    train = ["CCO", "OCC", "CCC", "not-a-molecule"]
+    cs = canonical_set(train, n_jobs=1)
+    assert None not in cs and len(cs) == 2
+    for gen in (["CCO", "CCN"], ["OCC"], []):
+        assert novelty(gen, train, train_canon=cs) == novelty(gen, train)
+    # disk cache round-trips identically (keyed by file size+mtime)
+    src = tmp_path / "train.smi"
+    src.write_text("\n".join(train) + "\n")
+    c1 = canonical_set(train, n_jobs=1, cache_for=str(src))
+    c2 = canonical_set(["IGNORED-on-cache-hit"], n_jobs=1,
+                       cache_for=str(src))
+    assert c1 == cs and c2 == cs
+
+
 def test_fingerprint_properties():
     fp1 = morgan_fingerprint(mol_from_smiles("CCO"))
     fp2 = morgan_fingerprint(mol_from_smiles("OCC"))
