@@ -271,13 +271,32 @@ class Trainer:
                 f.write(f"Total number of parameters: {n_params}\n")
 
     # ------------------------------------------------------------------
-    def _work_items(self, mol_iter, drug_iter, K: int):
+    def _work_items(self, mol_iter, drug_iter, K: int, start_step: int = 0):
         """Per-dispatch work stream: ``(epoch, it_after, n_steps, arrays,
         multi)``.  All host-side batch assembly (slicing, K-stacking) lives
-        here so a prefetch thread can overlap it with device execution."""
-        for epoch in range(self.cfg.epoch):
+        here so a prefetch thread can overlap it with device execution.
+
+        ``start_step`` resumes the schedule mid-run: epochs/iterations
+        already covered by the restored global step are skipped and the
+        drug stream is fast-forwarded to stay aligned, so a resumed run
+        continues the ORIGINAL epoch plan (and checkpoint names) instead
+        of replaying all ``cfg.epoch`` epochs on top — the reference
+        (train.py:296-302) restarts its epoch loop after restoring
+        weights, which both overshoots the schedule and overwrites
+        earlier cadence checkpoints under the same names."""
+        steps_per_epoch = len(mol_iter)
+        start_epoch, skip = (divmod(start_step, steps_per_epoch)
+                             if steps_per_epoch else (0, 0))
+        for _ in range(start_step):     # drug stream is continuous across
+            next(drug_iter)             # epochs: advance by ALL done steps
+        for epoch in range(start_epoch, self.cfg.epoch):
             batch_stream = mol_iter.epoch_batches(epoch)
             it = -1
+            if epoch == start_epoch and skip:
+                it = skip - 1
+                for _ in range(skip):   # mol stream alignment
+                    if next(batch_stream, None) is None:
+                        break
             for x, a in batch_stream:
                 dx, da = next(drug_iter)
                 if K > 1:
@@ -337,6 +356,10 @@ class Trainer:
         # window, which also bounds the device-queue depth — and batch
         # assembly runs on a prefetch thread.
         host_step = int(self.state.step)  # one sync (0 unless resumed)
+        if host_step >= self.cfg.epoch * max(len(mol_iter), 1):
+            print(f"resume: step {host_step} already completes the "
+                  f"{self.cfg.epoch}-epoch schedule; nothing to do")
+            return self.state
         # split_step dispatches two programs per iteration; halve the
         # window so in-flight executions stay within the relay's queue cap
         programs_per_dispatch = 2 if getattr(cfg, "split_step", False) else 1
@@ -356,7 +379,8 @@ class Trainer:
 
         from druggen_tpu.utils.prefetch import prefetch
 
-        work = prefetch(self._work_items(mol_iter, drug_iter, K),
+        work = prefetch(self._work_items(mol_iter, drug_iter, K,
+                                         start_step=host_step),
                         getattr(cfg, "prefetch_depth", 2))
         for epoch, it, n_steps, arrays, multi in work:
             if multi:

@@ -72,12 +72,24 @@ def test_full_pipeline(workdir):
         records = [json.loads(line) for line in f if line.strip()]
     assert any("d_loss" in r for r in records)
 
-    # ---- resume: a second invocation picks up the saved state
+    # ---- resume: a second invocation with a LONGER schedule continues
+    # from the saved state (same epoch count = schedule already complete,
+    # a no-op; epochs=2 = train the second epoch only).  run_name embeds
+    # the epoch count, so cross-schedule resume names the source dir.
     steps_before = max(r.get("step", 0) for r in records)
     train_cli.main(_train_args(workdir, epochs=1, resume=True))
     with open(workdir / "logs" / log_files[0]) as f:
+        records_noop = [json.loads(line) for line in f if line.strip()]
+    assert max(r.get("step", 0) for r in records_noop) == steps_before
+    train_cli.main(_train_args(workdir, epochs=2, resume=True)
+                   + ["--resume_directory", str(model_dir)])
+    log2 = [f for f in os.listdir(workdir / "logs")
+            if "epoch2" in f and f.endswith(".jsonl")]
+    with open(workdir / "logs" / log2[0]) as f:
         records2 = [json.loads(line) for line in f if line.strip()]
-    assert max(r.get("step", 0) for r in records2) > steps_before
+    assert max(r.get("step", 0) for r in records2) == 2 * steps_before
+    assert min(r.get("step", 10**9) for r in records2
+               if "d_loss" in r) > steps_before
 
     # ---- inference on the trained checkpoint
     import inference as inf_cli
@@ -229,3 +241,46 @@ def test_sampling_cadence_spans_epochs(tmp_path):
                 if n.endswith("-G.ckpt") and n[0].isdigit()]
     # 4 epochs x 3 steps = 12 global steps -> fires at step 7 (and not 14)
     assert periodic, "global-step cadence never fired across epochs"
+
+
+def test_resume_exact_continuation(tmp_path):
+    """Auto-resume continues the ORIGINAL schedule bit-exactly: 1 epoch +
+    resume-to-2 produces the same final G export as an unbroken 2-epoch
+    run (step-folded PRNG + full-state checkpoint + stream fast-forward)."""
+    import train as train_cli
+
+    write_corpus(str(tmp_path / "chembl.smi"), DRUGLIKE_SMILES)
+    write_corpus(str(tmp_path / "drugs.smi"), TARGET_SMILES)
+
+    def args(sub, epochs):
+        d = tmp_path / sub
+        return [
+            "--raw_file", str(tmp_path / "chembl.smi"),
+            "--drug_raw_file", str(tmp_path / "drugs.smi"),
+            "--submodel", "DrugGEN",
+            "--max_atom", "25", "--dim", "16", "--heads", "2",
+            "--batch_size", "8", "--epoch", str(epochs),
+            "--log_sample_step", "1000",
+            "--mol_data_dir", str(tmp_path / "cache"),
+            "--drug_data_dir", str(tmp_path / "cache_drug"),
+            "--log_dir", str(d / "logs"),
+            "--sample_dir", str(d / "samples"),
+            "--model_save_dir", str(d / "models"),
+            "--set_seed", "--seed", "7",
+            "--exp_name", "cont",
+        ]
+
+    train_cli.main(args("unbroken", 2))
+    train_cli.main(args("resumed", 1))
+    r1_root = tmp_path / "resumed" / "models"
+    r1_dir = r1_root / os.listdir(r1_root)[0]
+    train_cli.main(args("resumed", 2) + ["--resume",
+                                         "--resume_directory", str(r1_dir)])
+
+    def g_bytes(sub):
+        root = tmp_path / sub / "models"
+        cands = [n for n in os.listdir(root) if "epoch2" in n]
+        with open(root / cands[0] / "DrugGEN-G.ckpt", "rb") as f:
+            return f.read()
+
+    assert g_bytes("unbroken") == g_bytes("resumed")
