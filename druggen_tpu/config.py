@@ -118,6 +118,10 @@ class TrainConfig:
     # device scalars and fetching every N bounds the in-flight queue
     # (remote relays cap ~20 queued executions) while keeping the JSONL
     # per-step rows identical.  1 restores the reference's per-step sync.
+    nonfinite_guard: bool = True         # skip optimizer updates whose
+    # grads contain non-finite values (optax.apply_if_finite) — one bad
+    # step cannot poison the params (PERF.md round 4); --no_nonfinite_guard
+    # restores raw AdamW
     prefetch_depth: int = 2              # host-side batch prefetch queue
     # depth (background thread slices the next batches while the device
     # runs); 0 disables the thread
@@ -171,8 +175,13 @@ def _add_fields(parser: argparse.ArgumentParser, cfg_cls, skip=()) -> None:
             continue
         name = f"--{f.name}"
         if f.type in ("bool", bool):
-            parser.add_argument(name, action="store_true",
-                                default=f.default)
+            if f.default is True:
+                # default-on booleans are disabled with --no_<name>
+                parser.add_argument(f"--no_{f.name}", dest=f.name,
+                                    action="store_false", default=True)
+            else:
+                parser.add_argument(name, action="store_true",
+                                    default=f.default)
         elif f.default is None or f.type in ("int | None", "str | None"):
             typ = int if "int" in str(f.type) else str
             parser.add_argument(name, type=typ, default=f.default)

@@ -38,11 +38,23 @@ class GANState(NamedTuple):
 
 def make_optimizers(cfg):
     """AdamW x2 with torch-default decoupled weight decay (reference
-    train.py:213-214)."""
+    train.py:213-214).
+
+    When ``cfg.nonfinite_guard`` (default on), both optimizers are wrapped
+    in :func:`optax.apply_if_finite`: an update containing any non-finite
+    gradient is skipped entirely (params, moments and count untouched), so
+    a single bad step cannot poison the parameters.  A long-horizon bf16
+    run on real silicon NaN'd at step ~50.7k and every subsequent
+    checkpoint was garbage (experiments/r4_scale, PERF.md round 4) — the
+    guard turns that from a run-killer into a skipped step.  Finite-step
+    updates are bit-identical to the unwrapped optimizer."""
     g_opt = optax.adamw(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2,
                         weight_decay=cfg.adam_weight_decay)
     d_opt = optax.adamw(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2,
                         weight_decay=cfg.adam_weight_decay)
+    if getattr(cfg, "nonfinite_guard", True):
+        g_opt = optax.apply_if_finite(g_opt, max_consecutive_errors=10000)
+        d_opt = optax.apply_if_finite(d_opt, max_consecutive_errors=10000)
     return g_opt, d_opt
 
 

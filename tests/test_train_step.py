@@ -461,3 +461,37 @@ def test_train_step_fwdrev_fused_critic_agrees():
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), atol=1e-6, rtol=1e-5,
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_nonfinite_guard_skips_bad_updates():
+    """apply_if_finite wiring: finite updates bit-match raw AdamW; a
+    non-finite gradient yields a zero update (params untouched) and the
+    guard recovers on the next finite step (PERF.md round 4)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from druggen_tpu.config import parse_train_args
+    from druggen_tpu.train.step import make_optimizers
+
+    base = ["--raw_file", "x.smi", "--submodel", "NoTarget"]
+    cfg_on = parse_train_args(base)
+    cfg_off = parse_train_args(base + ["--no_nonfinite_guard"])
+    assert cfg_on.nonfinite_guard and not cfg_off.nonfinite_guard
+
+    params = {"w": jnp.ones(3)}
+    guarded, _ = make_optimizers(cfg_on)
+    raw, _ = make_optimizers(cfg_off)
+    s, rs = guarded.init(params), raw.init(params)
+    fin = {"w": jnp.array([0.1, -0.2, 0.3])}
+    u1, s1 = guarded.update(fin, s, params)
+    u1r, _ = raw.update(fin, rs, params)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.allclose(a, b)), u1, u1r))
+    bad = {"w": jnp.array([jnp.nan, 0.0, 0.0])}
+    u2, s2 = guarded.update(bad, s1, params)
+    assert all(bool(jnp.all(v == 0))
+               for v in jax.tree_util.tree_leaves(u2))
+    assert int(s2.notfinite_count) == 1
+    _, s3 = guarded.update(fin, s2, params)
+    assert int(s3.notfinite_count) == 0
