@@ -118,6 +118,10 @@ class TrainConfig:
     # device scalars and fetching every N bounds the in-flight queue
     # (remote relays cap ~20 queued executions) while keeping the JSONL
     # per-step rows identical.  1 restores the reference's per-step sync.
+    gp_f32: bool = True                  # run the gradient-penalty pass
+    # (critic fwd + input grad + its double-backward) in f32 under bf16
+    # compute — the bf16 GP double-backward NaN'd at scale (PERF.md r4);
+    # --no_gp_f32 restores the all-bf16 step
     nonfinite_guard: bool = True         # skip optimizer updates whose
     # grads contain non-finite values (optax.apply_if_finite) — one bad
     # step cannot poison the params (PERF.md round 4); --no_nonfinite_guard

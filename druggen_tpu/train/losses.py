@@ -49,8 +49,11 @@ def gradient_penalty(critic: CriticFn,
         return jnp.sum(critic(edge, node))
 
     g_node, g_edge = jax.grad(critic_sum, argnums=(0, 1))(int_node, int_edge)
+    # norm/penalty reduction in f32 regardless of compute dtype (no-op at
+    # f32; under bf16 the squared-sum/sqrt chain is the numerically
+    # sensitive part of the whole step — see PERF.md round 4 NaN incident)
     grads = jnp.concatenate([g_node.reshape(b, -1), g_edge.reshape(b, -1)],
-                            axis=1)
+                            axis=1).astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(grads * grads, axis=1) + 1e-12)
     return jnp.mean((norms - 1.0) ** 2)
 
@@ -103,8 +106,9 @@ def gradient_penalty_fwdrev(critic: CriticFn,
     g_node, g_edge = jax.grad(critic_sum, argnums=(0, 1))(int_node, int_edge)
     g_node = jax.lax.stop_gradient(g_node)
     g_edge = jax.lax.stop_gradient(g_edge)
-    sq = (jnp.sum(g_node.reshape(b, -1) ** 2, axis=1)
-          + jnp.sum(g_edge.reshape(b, -1) ** 2, axis=1))
+    # f32 reduction (see gradient_penalty)
+    sq = (jnp.sum(g_node.reshape(b, -1).astype(jnp.float32) ** 2, axis=1)
+          + jnp.sum(g_edge.reshape(b, -1).astype(jnp.float32) ** 2, axis=1))
     norms = jnp.sqrt(sq + 1e-12)
     gp_value = jnp.mean((norms - 1.0) ** 2)
 

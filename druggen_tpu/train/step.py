@@ -78,7 +78,8 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
                     node_mode: str = "labels", gp_mode: str = "revrev",
-                    share_fake="auto", fused_critic: bool = False):
+                    share_fake="auto", fused_critic: bool = False,
+                    gp_f32: bool = True):
     """Build the jitted step.
 
     step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
@@ -160,6 +161,25 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     else:
         d_apply_first = d_apply
         d_apply_gp = d_apply
+
+    if gp_f32 and compute_dtype != jnp.float32:
+        # Run the ENTIRE gradient-penalty pass (critic forward, input
+        # gradient, and its second-order backward) in f32: the bf16
+        # double-backward produced persistent NaNs once critic weights
+        # grew (~step 50k and again ~66k of the reference-scale run,
+        # PERF.md round 4), freezing D behind the non-finite guard.  The
+        # GP pass is one small critic fwd+bwd per step — the f32 upgrade
+        # costs a few percent and matches the reference's own (all-f32)
+        # numerics on exactly the numerically sensitive term.  Takes
+        # precedence over the fused-critic fwdrev routing (Pallas kernels
+        # are bf16-tiled).
+        d_model_gp32 = d_model.clone(dtype=None)
+
+        def d_apply_gp(params, rng, e, n):  # noqa: F811
+            return d_model_gp32.apply(params, e.astype(jnp.float32),
+                                      n.astype(jnp.float32),
+                                      deterministic=False,
+                                      rngs={"dropout": rng})
 
     def step_fn(state: GANState, key, x_labels, a_labels,
                 drug_x_labels, drug_a_labels):
@@ -250,7 +270,8 @@ def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
                           compute_dtype=jnp.float32,
                           node_mode: str = "labels",
                           gp_mode: str = "revrev",
-                          fused_critic: bool = False):
+                          fused_critic: bool = False,
+                          gp_f32: bool = True):
     """The single-jit iteration split into TWO compiled programs (D update
     incl. the GP double-backward; then G update) with the same
     step(state, key, x, a, dx, da) contract.
@@ -276,9 +297,19 @@ def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
         return d_model_first.apply(params, e, n, deterministic=False,
                                    rngs={"dropout": rng})
 
-    def d_apply_gp(params, rng, e, n):
-        return d_model.apply(params, e, n, deterministic=False,
-                             rngs={"dropout": rng})
+    if gp_f32 and compute_dtype != jnp.float32:
+        d_model_gp32 = d_model.clone(dtype=None)
+
+        def d_apply_gp(params, rng, e, n):
+            # f32 GP pass (see make_train_step)
+            return d_model_gp32.apply(params, e.astype(jnp.float32),
+                                      n.astype(jnp.float32),
+                                      deterministic=False,
+                                      rngs={"dropout": rng})
+    else:
+        def d_apply_gp(params, rng, e, n):
+            return d_model.apply(params, e, n, deterministic=False,
+                                 rngs={"dropout": rng})
 
     def _one_hot_inputs(x_labels, a_labels, drug_x_labels, drug_a_labels):
         if node_mode == "dense":

@@ -194,6 +194,7 @@ class Trainer:
                            compute_dtype=self.compute_dtype,
                            node_mode="dense" if cfg.features else "labels",
                            gp_mode=getattr(cfg, "gp_mode", "revrev"),
+                           gp_f32=getattr(cfg, "gp_f32", True),
                            fused_critic=("block" if getattr(
                                cfg, "fused_block", False)
                                else getattr(cfg, "fused_critic", False)))
