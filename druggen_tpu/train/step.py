@@ -53,9 +53,62 @@ def make_optimizers(cfg):
     d_opt = optax.adamw(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2,
                         weight_decay=cfg.adam_weight_decay)
     if getattr(cfg, "nonfinite_guard", True):
-        g_opt = optax.apply_if_finite(g_opt, max_consecutive_errors=10000)
-        d_opt = optax.apply_if_finite(d_opt, max_consecutive_errors=10000)
+        g_opt = apply_if_all_finite(g_opt)
+        d_opt = apply_if_all_finite(d_opt)
     return g_opt, d_opt
+
+
+class AllFiniteState(NamedTuple):
+    notfinite_count: jnp.ndarray   # consecutive rejected steps (int32)
+    total_notfinite: jnp.ndarray   # lifetime rejected steps (int32)
+    inner_state: Any
+
+
+def apply_if_all_finite(inner) -> "optax.GradientTransformation":
+    """A stricter :func:`optax.apply_if_finite`: a step is applied only if
+    the incoming gradients AND the computed updates AND the resulting
+    inner optimizer state are all finite; otherwise params and inner
+    state are left untouched (update = 0).
+
+    Why not apply_if_finite: it only checks the incoming gradients, so a
+    HUGE-but-finite gradient spike passes, overflows Adam's second moment
+    (nu = grad^2 -> inf), then the first moment, and the optimizer then
+    emits NaN *updates* from finite gradients — observed poisoning
+    g_params at step ~77k of the reference-scale bf16 run (PERF.md round
+    4) straight through the gradient-only guard.  Checking the full
+    transition closes that hole, and unlike apply_if_finite there is no
+    give-up count that eventually lets NaNs through."""
+
+    def init(params):
+        return AllFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def _tree_finite(tree) -> jnp.ndarray:
+        leaves = [jnp.all(jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(tree)
+                  if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+        return jnp.all(jnp.stack(leaves)) if leaves else jnp.array(True)
+
+    def update(updates, state, params=None):
+        new_updates, new_inner = inner.update(updates, state.inner_state,
+                                              params)
+        ok = (_tree_finite(updates) & _tree_finite(new_updates)
+              & _tree_finite(new_inner))
+        pick = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+            lambda x, y: jnp.where(ok, x, y), a, b)
+        out_updates = pick(new_updates,
+                           jax.tree_util.tree_map(jnp.zeros_like,
+                                                  new_updates))
+        out_inner = pick(new_inner, state.inner_state)
+        return out_updates, AllFiniteState(
+            notfinite_count=jnp.where(ok, 0, state.notfinite_count + 1),
+            total_notfinite=state.total_notfinite + jnp.where(ok, 0, 1),
+            inner_state=out_inner,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_state(g_model, d_model, g_opt, d_opt, key, vertexes: int,

@@ -493,5 +493,16 @@ def test_nonfinite_guard_skips_bad_updates():
     assert all(bool(jnp.all(v == 0))
                for v in jax.tree_util.tree_leaves(u2))
     assert int(s2.notfinite_count) == 1
-    _, s3 = guarded.update(fin, s2, params)
-    assert int(s3.notfinite_count) == 0
+    # HUGE-but-finite gradient: grad^2 overflows Adam's nu to inf — the
+    # full-transition barrier must reject it too (the round-4 poisoning
+    # went through a gradients-only check exactly this way)
+    import numpy as np
+    huge = {"w": jnp.array([3e38, 0.0, 0.0], jnp.float32)}
+    u3, s3 = guarded.update(huge, s2, params)
+    assert all(bool(jnp.all(v == 0))
+               for v in jax.tree_util.tree_leaves(u3))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(s3.inner_state))
+    _, s4 = guarded.update(fin, s3, params)
+    assert int(s4.notfinite_count) == 0
+    assert int(s4.total_notfinite) == 2
