@@ -207,8 +207,19 @@ class InferenceEngine:
             "submodel": cfg.submodel,
             "validity": validity,
             "uniqueness": round(mm.fraction_unique(gen_smi), 3),
-            "novelty": round(mm.novelty(gen_smi, chembl_smiles), 3),
-            "novelty_inference": round(mm.novelty(gen_smi, chembl_test), 3),
+            # corpus-side canonical sets are parallel + disk-cached: at
+            # reference scale (1.59M molecules) the serial re-scan was
+            # 40+ min per report (PERF.md round 4)
+            "novelty": round(mm.novelty(
+                gen_smi, chembl_smiles,
+                train_canon=mm.canonical_set(
+                    chembl_smiles, n_jobs=2,
+                    cache_for=cfg.train_smiles)), 3),
+            "novelty_inference": round(mm.novelty(
+                gen_smi, chembl_test,
+                train_canon=mm.canonical_set(
+                    chembl_test, n_jobs=2,
+                    cache_for=cfg.inf_smiles)), 3),
             "novelty_real_inhibitor": round(mm.novelty(gen_smi, drug_smiles), 3),
             "ave_len": round(mm.max_component(gen_smi, self.vertexes), 3),
             "mean_atom_type": round(mm.mean_atom_type(node_rows), 3)
