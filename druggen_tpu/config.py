@@ -118,10 +118,13 @@ class TrainConfig:
     # device scalars and fetching every N bounds the in-flight queue
     # (remote relays cap ~20 queued executions) while keeping the JSONL
     # per-step rows identical.  1 restores the reference's per-step sync.
-    gp_f32: bool = True                  # run the gradient-penalty pass
-    # (critic fwd + input grad + its double-backward) in f32 under bf16
-    # compute — the bf16 GP double-backward NaN'd at scale (PERF.md r4);
-    # --no_gp_f32 restores the all-bf16 step
+    gp_f32: str = "auto"                 # gradient-penalty precision under
+    # bf16 compute: "off" = all-bf16 (fastest, NaN'd at ~50k steps of the
+    # reference-scale run), "on" = f32 GP pass every step (stable, -20%
+    # at batch 768), "auto" (default) = start bf16 and permanently escalate
+    # to the f32 program the first time the loss window goes non-finite —
+    # full speed for the healthy regime, self-healing at the frontier
+    # (PERF.md round 4)
     nonfinite_guard: bool = True         # skip optimizer updates whose
     # grads contain non-finite values (optax.apply_if_finite) — one bad
     # step cannot poison the params (PERF.md round 4); --no_nonfinite_guard

@@ -41,9 +41,10 @@ def make_optimizers(cfg):
     train.py:213-214).
 
     When ``cfg.nonfinite_guard`` (default on), both optimizers are wrapped
-    in :func:`optax.apply_if_finite`: an update containing any non-finite
-    gradient is skipped entirely (params, moments and count untouched), so
-    a single bad step cannot poison the parameters.  A long-horizon bf16
+    in :func:`apply_if_all_finite`: a step whose gradients, computed
+    updates, or resulting optimizer state contain non-finite values is
+    skipped entirely (params, moments and count untouched), so one bad
+    step cannot poison the parameters.  A long-horizon bf16
     run on real silicon NaN'd at step ~50.7k and every subsequent
     checkpoint was garbage (experiments/r4_scale, PERF.md round 4) — the
     guard turns that from a run-killer into a skipped step.  Finite-step
@@ -132,7 +133,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     compute_dtype=jnp.float32, donate: bool = True,
                     node_mode: str = "labels", gp_mode: str = "revrev",
                     share_fake="auto", fused_critic: bool = False,
-                    gp_f32: bool = True):
+                    gp_f32: bool = False):
     """Build the jitted step.
 
     step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
@@ -324,7 +325,7 @@ def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
                           node_mode: str = "labels",
                           gp_mode: str = "revrev",
                           fused_critic: bool = False,
-                          gp_f32: bool = True):
+                          gp_f32: bool = False):
     """The single-jit iteration split into TWO compiled programs (D update
     incl. the GP double-backward; then G update) with the same
     step(state, key, x, a, dx, da) contract.

@@ -189,15 +189,28 @@ class Trainer:
             self.state = shard_gan_state_tp(self.mesh, state)
         else:
             self.state = shard_state(self.mesh, state)
+        gp_f32_cfg = getattr(cfg, "gp_f32", "auto")
+        if isinstance(gp_f32_cfg, bool):            # programmatic callers
+            gp_f32_cfg = "on" if gp_f32_cfg else "off"
+        if gp_f32_cfg not in ("auto", "on", "off"):
+            raise ValueError(f"gp_f32 must be auto/on/off, got {gp_f32_cfg!r}")
+        # "auto": start on the all-bf16 program (no GP cost), escalate to
+        # the f32-GP program the first time the fetched loss window shows
+        # a non-finite value (_maybe_escalate_gp) — the bf16 GP is only
+        # unstable once critic weights have grown (PERF.md round 4)
+        self._gp_escalation_armed = (gp_f32_cfg == "auto"
+                                     and self.compute_dtype != jnp.float32
+                                     and self.node_k == 1)
         step_kwargs = dict(lambda_gp=cfg.lambda_gp, m_dim=self.m_dim,
                            b_dim=self.b_dim, submodel=cfg.submodel,
                            compute_dtype=self.compute_dtype,
                            node_mode="dense" if cfg.features else "labels",
                            gp_mode=getattr(cfg, "gp_mode", "revrev"),
-                           gp_f32=getattr(cfg, "gp_f32", True),
+                           gp_f32=(gp_f32_cfg == "on"),
                            fused_critic=("block" if getattr(
                                cfg, "fused_block", False)
                                else getattr(cfg, "fused_critic", False)))
+        self._step_kwargs = step_kwargs
         self.multi_step_fn = None
         if self.node_k > 1:
             # full WGAN-GP step under shard_map on ('data','node'); the
@@ -272,6 +285,36 @@ class Trainer:
                 f.write(f"Total number of parameters: {n_params}\n")
 
     # ------------------------------------------------------------------
+    def _escalate_gp(self) -> None:
+        """Swap the jitted step for the f32-GP variant (gp_f32="auto").
+
+        Called once, from the loss-flush path, the first time a fetched
+        loss is non-finite: the all-bf16 GP program is full speed but its
+        double-backward destabilizes once critic weights grow (PERF.md
+        round 4 — NaN at ~50k/66k steps, -20% to run f32 from step 0).
+        The swap costs one recompile; the optimizer/state structure is
+        identical, so training continues from the same state object — and
+        the non-finite barrier has already kept the params clean through
+        the triggering step."""
+        self._gp_escalation_armed = False
+        kw = dict(self._step_kwargs, gp_f32=True)
+        print("gp_f32=auto: non-finite loss detected — escalating the "
+              "gradient-penalty pass to f32 (one-time recompile)",
+              flush=True)
+        if getattr(self.cfg, "split_step", False):
+            from druggen_tpu.train.step import make_split_train_step
+
+            self.step_fn = make_split_train_step(
+                self.G, self.D, self.g_opt, self.d_opt, **kw)
+        else:
+            self.step_fn = make_train_step(self.G, self.D, self.g_opt,
+                                           self.d_opt, **kw)
+            if self.multi_step_fn is not None:
+                from druggen_tpu.train.step import make_multi_step
+
+                self.multi_step_fn = make_multi_step(
+                    self.G, self.D, self.g_opt, self.d_opt, **kw)
+
     def _work_items(self, mol_iter, drug_iter, K: int, start_step: int = 0):
         """Per-dispatch work stream: ``(epoch, it_after, n_steps, arrays,
         multi)``.  All host-side batch assembly (slicing, K-stacking) lives
@@ -371,12 +414,19 @@ class Trainer:
         def flush() -> None:
             # float() on the newest scalar is the hard sync; everything
             # queued before it has then executed too
+            import math
+
+            saw_nonfinite = False
             for ep, it_, st_, kw, m in pending:
+                d_val, g_val = float(m["d_loss"]), float(m["g_loss"])
+                saw_nonfinite |= not (math.isfinite(d_val)
+                                      and math.isfinite(g_val))
                 self.logger.log({"epoch": ep, "iter": it_,
-                                 "d_loss": float(m["d_loss"]),
-                                 "g_loss": float(m["g_loss"])},
+                                 "d_loss": d_val, "g_loss": g_val},
                                 step=st_, echo=(it_ % 50 < kw))
             pending.clear()
+            if saw_nonfinite and self._gp_escalation_armed:
+                self._escalate_gp()
 
         from druggen_tpu.utils.prefetch import prefetch
 

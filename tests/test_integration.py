@@ -284,3 +284,47 @@ def test_resume_exact_continuation(tmp_path):
             return f.read()
 
     assert g_bytes("unbroken") == g_bytes("resumed")
+
+
+def test_gp_f32_auto_escalation(tmp_path):
+    """gp_f32="auto": trainer starts on the all-bf16 step and can swap in
+    the f32-GP program mid-run against the same state (PERF.md round 4:
+    full speed in the healthy regime, self-healing at the NaN frontier)."""
+    import numpy as np
+
+    from druggen_tpu.config import parse_train_args
+    from druggen_tpu.train.trainer import Trainer
+
+    write_corpus(str(tmp_path / "chembl.smi"), DRUGLIKE_SMILES)
+    write_corpus(str(tmp_path / "drugs.smi"), TARGET_SMILES)
+    cfg = parse_train_args([
+        "--raw_file", str(tmp_path / "chembl.smi"),
+        "--drug_raw_file", str(tmp_path / "drugs.smi"),
+        "--submodel", "DrugGEN", "--max_atom", "25", "--dim", "16",
+        "--heads", "2", "--batch_size", "8", "--epoch", "1",
+        "--compute_dtype", "bf16",
+        "--mol_data_dir", str(tmp_path / "c"),
+        "--drug_data_dir", str(tmp_path / "cd"),
+        "--log_dir", str(tmp_path / "l"),
+        "--sample_dir", str(tmp_path / "s"),
+        "--model_save_dir", str(tmp_path / "m"),
+        "--set_seed", "--seed", "7", "--exp_name", "esc"])
+    assert cfg.gp_f32 == "auto"
+    tr = Trainer(cfg)
+    assert tr._gp_escalation_armed
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8, 25), jnp.int8)
+    a = jnp.zeros((8, 25, 25), jnp.int8)
+    st1, m1, _ = tr.step_fn(tr.state, tr.key, x, a, x, a)
+    tr.state = st1
+    tr._escalate_gp()           # swap to the f32-GP program
+    assert not tr._gp_escalation_armed
+    st2, m2, _ = tr.step_fn(tr.state, tr.key, x, a, x, a)
+    assert np.isfinite(float(m2["d_loss"]))
+    # off/on parse variants
+    for v in ("on", "off"):
+        c = parse_train_args([
+            "--raw_file", "x.smi", "--submodel", "NoTarget",
+            "--gp_f32", v])
+        assert c.gp_f32 == v
