@@ -27,7 +27,8 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
           use_pallas: bool, compute_dtype: str, remat: bool = False,
           fused_mlp: bool = False, gp_mode: str = "revrev",
           share_fake="auto", scan_layers: bool = False,
-          fused_critic: bool = False, split_step: bool = False):
+          fused_critic: bool = False, split_step: bool = False,
+          gp_f32: bool = False, f32_stats: bool = False):
     import numpy as np
 
     import jax
@@ -67,13 +68,14 @@ def build(batch: int, vertexes: int, dim: int, depth: int, heads: int,
         step = make_split_train_step(
             g, d, g_opt, d_opt, lambda_gp=10.0, m_dim=m_dim, b_dim=b_dim,
             submodel="DrugGEN", compute_dtype=cdtype, gp_mode=gp_mode,
-            fused_critic=fused_critic)
+            fused_critic=fused_critic, gp_f32=gp_f32, f32_stats=f32_stats)
     else:
         step = make_train_step(g, d, g_opt, d_opt, lambda_gp=10.0,
                                m_dim=m_dim, b_dim=b_dim, submodel="DrugGEN",
                                compute_dtype=cdtype, gp_mode=gp_mode,
                                share_fake=share_fake,
-                               fused_critic=fused_critic)
+                               fused_critic=fused_critic, gp_f32=gp_f32,
+                               f32_stats=f32_stats)
 
     rng = np.random.default_rng(0)
     x = rng.integers(0, m_dim, (batch, vertexes)).astype(np.int8)
@@ -352,6 +354,12 @@ def main():
                    help="disable the single-G-forward vjp reuse (A/B knob; "
                         "default 'auto' enables it at dropout 0)")
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--gp-f32", action="store_true",
+                   help="numerics-ladder tier 1: f32 gradient-penalty "
+                        "pass (trainer gp_f32=on)")
+    p.add_argument("--f32-stats", action="store_true",
+                   help="numerics-ladder tier 2: f32 LayerNorm/softmax "
+                        "reductions (fused kernels drop out)")
     p.add_argument("--torch-baseline", action="store_true")
     args = p.parse_args()
 
@@ -372,7 +380,7 @@ def main():
                 args.fused_mlp, args.gp_mode,
                 False if args.no_share_fake else "auto", args.scan_layers,
                 "block" if args.fused_block else args.fused_critic,
-                args.split_step)
+                args.split_step, args.gp_f32, args.f32_stats)
             sec = bench_step(state, step, step_args,
                              k_large=max(args.iters, 10))
         else:
@@ -450,6 +458,8 @@ def main():
                       f"_heads{args.heads}_{args.compute_dtype}"
                       f"{'_pallas' if args.use_pallas else ''}"
                       f"{'_fusedblock' if args.fused_mlp == 'block' else ('_fusedmlp' if args.fused_mlp else '')}"
+                      f"{'_gpf32' if args.gp_f32 else ''}"
+                      f"{'_f32stats' if args.f32_stats else ''}"
                       f"{'_fwdrev' if args.gp_mode == 'fwdrev' else ''},"
                       + workload,
         },

@@ -114,19 +114,41 @@ def build_vocab(smiles_iter, max_atom: int, use_native: bool = True) -> Vocab:
     return Vocab(tuple(sorted(atom_labels)), tuple([0] + bonds))
 
 
+def widen_vocab(vocab: "Vocab", other: "Vocab") -> "Vocab":
+    """Union of two vocabularies, re-sorted to the reference's canonical
+    order (sorted atomic numbers with PAD 0 first; bonds ZERO first —
+    src/data/utils.py:97-109).  Used to pin a scanned corpus vocab to the
+    published ChEMBL-v29 label space so (a) the generator's output space
+    matches the reference's 12 atom types and (b) released checkpoints
+    (m_dim 13 incl. PAD) import without index surgery."""
+    atoms = tuple(sorted(set(vocab.atom_labels) | set(other.atom_labels)))
+    bonds = tuple([0] + sorted((set(vocab.bond_labels)
+                                | set(other.bond_labels)) - {0}))
+    return Vocab(atoms, bonds)
+
+
 def get_vocab(raw_file1: str, raw_file2: str, max_atom: int,
-              cache_dir: str = "data/vocab") -> Vocab:
+              cache_dir: str = "data/vocab",
+              union_ref12: bool = False) -> Vocab:
     """Load-or-build the vocab for a pair of corpora (reference
-    ``get_encoders_decoders``, src/data/utils.py:26-126)."""
+    ``get_encoders_decoders``, src/data/utils.py:26-126).
+
+    ``union_ref12``: widen the scanned vocab with the published ChEMBL-v29
+    atom set (:data:`CHEMBL_VOCAB` — reference README.md:141-145), closing
+    the gap when the training corpus lacks the rare-element tail
+    (Ca/K/As).  Cached under a distinct key."""
     name1 = os.path.splitext(os.path.basename(raw_file1))[0]
     name2 = os.path.splitext(os.path.basename(raw_file2))[0]
     a, b = sorted([name1, name2])
-    path = os.path.join(cache_dir, f"vocab_{a}_{b}_{max_atom}.json")
+    suffix = "_ref12" if union_ref12 else ""
+    path = os.path.join(cache_dir, f"vocab_{a}_{b}_{max_atom}{suffix}.json")
     if os.path.exists(path):
         with open(path) as f:
             return Vocab.from_json(f.read())
     smiles = read_smiles_file(raw_file1) + read_smiles_file(raw_file2)
     vocab = build_vocab(smiles, max_atom)
+    if union_ref12:
+        vocab = widen_vocab(vocab, CHEMBL_VOCAB)
     os.makedirs(cache_dir, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

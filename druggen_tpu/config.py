@@ -25,6 +25,10 @@ class TrainConfig:
     drug_data_dir: str = "data"
     mol_data_dir: str = "data"
     features: bool = False
+    vocab_ref12: bool = False            # widen the scanned vocab with the
+    # published ChEMBL-v29 atom set (12 types incl. Ca/K/As — reference
+    # README.md:141-145) so the output space matches the reference and
+    # released m_dim-13 checkpoints import without index surgery
 
     # Model (reference train.py:411-421)
     submodel: str = "DrugGEN"            # DrugGEN | NoTarget
@@ -125,6 +129,17 @@ class TrainConfig:
     # to the f32 program the first time the loss window goes non-finite —
     # full speed for the healthy regime, self-healing at the frontier
     # (PERF.md round 4)
+    f32_stats: str = "auto"              # LayerNorm/softmax precision under
+    # bf16 compute — tier 2 of the numerics ladder: "off" = bf16
+    # reductions, "on" = f32 reductions from step 0 (fused kernels drop
+    # out), "auto" (default) = escalate to the f32-reduction program only
+    # if losses stay non-finite AFTER the gp_f32 escalation (the bf16
+    # forward itself at the numeric edge — the failure mode that ended the
+    # round-4 reference-scale run's healthy span at ~64k steps)
+    f32_full: str = "auto"               # final numerics-ladder tier:
+    # "auto" (default) = if losses stay non-finite after gp_f32 AND
+    # f32_stats escalation, recompile the whole step in f32 (the
+    # reference's own numerics; slowest, last resort); "off" disables
     nonfinite_guard: bool = True         # skip optimizer updates whose
     # grads contain non-finite values (optax.apply_if_finite) — one bad
     # step cannot poison the params (PERF.md round 4); --no_nonfinite_guard
@@ -156,8 +171,16 @@ class InferenceConfig:
     train_smiles: str = ""
     train_drug_smiles: str = ""
     inf_batch_size: int = 1
+    inf_max_batches: int = 0             # optional hard batch cap for the
+    # sampling loop; 0 (default) = loop until sample_num valid molecules
+    # like the reference (inference.py:226-228), with a stagnation guard
+    # for dead generators
     mol_data_dir: str = "data"
     features: bool = False
+    vocab_ref12: bool = False            # widen the scanned vocab with the
+    # published ChEMBL-v29 atom set (12 types incl. Ca/K/As — reference
+    # README.md:141-145) so the output space matches the reference and
+    # released m_dim-13 checkpoints import without index surgery
     act: str = "relu"
     max_atom: int = 45
     dim: int = 128

@@ -163,6 +163,25 @@ def generate_corpus(n: int, seed: int = 0) -> list[str]:
     return out
 
 
+# Rare-element supplement: molecules carrying the ChEMBL-v29 atom tail
+# (K, Ca, As — reference README.md:141-145) that the fragment-recombination
+# corpora lack.  Classic organoarsenicals (cacodylic/arsanilic acids,
+# trimethylarsine) plus covalently-written K/Ca salts of the kind ChEMBL
+# records; all parse, sanitize, round-trip, and featurize through the
+# chem stack (tests/test_vocab_ref12.py).  Injected into training corpora
+# via ``scripts/build_corpus_v2.py --inject_ref12`` so a ref12-vocab model
+# sees every atom type during training.
+REF12_SUPPLEMENT = [
+    "C[As](C)C", "C[As](C)(C)=O", "C[As](C)(O)=O", "O[As](O)(O)=O",
+    "Nc1ccc(cc1)[As](O)(O)=O", "O[As]=O", "c1ccc(cc1)[As](O)O",
+    "C[As]1SCCS1", "OC(=O)C[As](O)(O)=O",
+    "CC(=O)O[K]", "[K]OC(=O)c1ccccc1", "[K]Oc1ccccc1", "[K]OS(=O)(=O)C",
+    "CCO[K]",
+    "O=C1O[Ca]OC1=O", "[Ca](OC(C)=O)OC(C)=O",
+    "[Ca]1OC(=O)CN(CC(=O)O1)C",
+]
+
+
 def write_corpus(path: str, smiles: list[str]) -> None:
     with open(path, "w") as f:
         for s in smiles:

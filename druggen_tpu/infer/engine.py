@@ -43,9 +43,10 @@ class InferenceEngine:
         self.cfg = cfg
         if cfg.platform:
             jax.config.update("jax_platforms", cfg.platform)
-        self.vocab = vocab or get_vocab(cfg.train_smiles,
-                                        cfg.train_drug_smiles, cfg.max_atom,
-                                        cache_dir=os.path.join(cfg.mol_data_dir, "vocab"))
+        self.vocab = vocab or get_vocab(
+            cfg.train_smiles, cfg.train_drug_smiles, cfg.max_atom,
+            cache_dir=os.path.join(cfg.mol_data_dir, "vocab"),
+            union_ref12=getattr(cfg, "vocab_ref12", False))
         self.data = load_dataset(cfg.inf_smiles, self.vocab, cfg.max_atom,
                                  cfg.mol_data_dir)
         self.m_dim = self.vocab.m_dim
@@ -119,15 +120,29 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def sample(self, sample_num: int | None = None,
-               max_batches: int | None = None):
+               max_batches: int | None = None, seed_offset: int = 0):
         """Run the sampling loop (reference inference.py:180-229).
+
+        Like the reference, keeps sampling until ``sample_num`` VALID
+        molecules are collected (the reference loops until its counter
+        fills, inference.py:226-228) — there is no fixed batch cap unless
+        ``max_batches``/``cfg.inf_max_batches`` sets one (the
+        fixed-sample-budget mode checkpoint screening uses).  A dead
+        generator is caught by a stagnation guard (no new valid molecule
+        across ``stall_batches`` consecutive batches) instead of a budget
+        that silently truncates healthy runs (the round-4 10k set stopped
+        at 9,800 because of exactly such a cap).
 
         Returns (kept_smiles, all_decoded [incl. None], node_label_rows,
         real_mols_first_per_batch)."""
         cfg = self.cfg
         sample_num = sample_num or cfg.sample_num
         batch = max(cfg.inf_batch_size, 1)
-        it = iter(BatchIterator(self.data, batch, seed=cfg.seed, loop=True,
+        # seed_offset: a fresh shuffle for top-up rounds (the generator is
+        # deterministic per input graph, so re-walking the same stream
+        # would reproduce the same molecules)
+        it = iter(BatchIterator(self.data, batch,
+                                seed=cfg.seed + seed_offset, loop=True,
                                 drop_last=True))
         kept: list[str] = []
         all_decoded: list[str | None] = []
@@ -135,8 +150,17 @@ class InferenceEngine:
         real_first: list = []
         n_batches = 0
         none_counter = 0
-        limit = max_batches or (50 * sample_num // batch + 50)
-        while len(kept) < sample_num and n_batches < limit:
+        limit = max_batches or getattr(cfg, "inf_max_batches", 0) or 0
+        stall_batches = max(200, 2 * sample_num // batch)
+        last_progress_batch = 0
+        while len(kept) < sample_num and (limit == 0
+                                          or n_batches < limit):
+            if n_batches - last_progress_batch >= stall_batches:
+                print(f"sampling stalled: no valid molecule in the last "
+                      f"{stall_batches} batches "
+                      f"({len(kept)}/{sample_num} collected) — stopping",
+                      flush=True)
+                break
             x, a = next(it)
             n_labels, e_labels = self._forward(self.g_params, a, x)
             n_labels = np.asarray(n_labels)
@@ -156,6 +180,7 @@ class InferenceEngine:
                     kept.append(smi)
                     all_decoded.append(smi)
                     node_rows.append(n_labels[bi])
+                    last_progress_batch = n_batches
                 if len(kept) >= sample_num:
                     break
             # real molecule bookkeeping for SNN (reference keeps the first
@@ -189,6 +214,32 @@ class InferenceEngine:
 
             corrector = SmilesCorrector.default(out_dir)
             gen_smi = corrector.correct(kept)
+            # the correction pipeline standardizes + DEDUPES, so the
+            # delivered set can shrink below sample_num (the round-4 10k
+            # set came out at 9,800).  The reference's contract is
+            # sample_num molecules delivered (inference.py:226-228 +
+            # 10,001-line released CSVs) — top up with fresh samples until
+            # the corrected set reaches it.
+            rounds = 0
+            while len(gen_smi) < cfg.sample_num and rounds < 20:
+                rounds += 1
+                need = cfg.sample_num - len(gen_smi)
+                ex_kept, ex_dec, ex_rows, _ = self.sample(
+                    sample_num=max(2 * need, 64), seed_offset=rounds)
+                if not ex_kept:
+                    break
+                kept += ex_kept
+                all_decoded += ex_dec
+                node_rows += ex_rows
+                have = set(gen_smi)
+                for s in corrector.correct(ex_kept):
+                    if s not in have:
+                        have.add(s)
+                        gen_smi.append(s)
+                        if len(gen_smi) >= cfg.sample_num:
+                            break
+                print(f"correction top-up round {rounds}: "
+                      f"{len(gen_smi)}/{cfg.sample_num}", flush=True)
         elapsed = time.time() - t0
         print(f"Inference lasted {elapsed:.2f} seconds "
               f"({len(kept)} raw, {len(gen_smi)} after correction)")
@@ -206,6 +257,12 @@ class InferenceEngine:
         results = {
             "submodel": cfg.submodel,
             "validity": validity,
+            # raw generator success rate over ALL decode attempts — in
+            # correction mode `validity` divides by the request size, which
+            # conflates generator quality with engine behavior (round-4
+            # VERDICT weak #5); this column is cap-independent
+            "generator_validity": round(
+                len(kept) / max(len(all_decoded), 1), 3),
             "uniqueness": round(mm.fraction_unique(gen_smi), 3),
             # corpus-side canonical sets are parallel + disk-cached: at
             # reference scale (1.59M molecules) the serial re-scan was

@@ -139,12 +139,19 @@ class GraphMHA(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     node_axis: str | None = None
+    # f32_stats: compute the per-channel softmax in f32 (cast back to the
+    # compute dtype for the V aggregation).  The bf16-forward stability
+    # escalation tier (PERF.md round 4: "tracked for a future
+    # f32-LN/softmax option"); the reference's own numerics are all-f32.
+    f32_stats: bool = False
 
     @nn.compact
     def __call__(self, node, edge, tail=None):
         assert self.dim % self.heads == 0
         assert not (self.use_pallas and self.node_axis), \
             "fused attention kernel does not support the node-sharded mode"
+        assert not (self.use_pallas and self.f32_stats), \
+            "f32_stats requires the XLA attention path (kernels are bf16)"
         b, n, c = node.shape
         h = self.heads
         dk = c // h
@@ -213,7 +220,12 @@ class GraphMHA(nn.Module):
         attn = attn / math.sqrt(dk)
         attn = attn * (e + 1.0) * e
         edge_pre = attn.reshape(b, n, nk, c)
-        attn = jax.nn.softmax(attn, axis=2)             # over keys j,
+        if self.f32_stats:
+            # f32 softmax reduction, bf16 V-aggregation (escalation tier)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=2).astype(v.dtype)
+        else:
+            attn = jax.nn.softmax(attn, axis=2)         # over keys j,
         # independently per channel (h, dk) — reference layers.py:130
         node_agg = (attn * v[:, None, :, :, :]).sum(axis=2)  # [b,n,h,dk]
         node_agg = node_agg.reshape(b, n, c)
@@ -241,15 +253,28 @@ class EncoderBlock(nn.Module):
     use_pallas: bool = False
     fused_mlp: bool = False
     node_axis: str | None = None
+    # f32_stats: run all six LayerNorms (and the attention softmax) in f32,
+    # casting back to the compute dtype so the matmuls stay on the bf16 MXU
+    # path.  Escalation tier for bf16-forward overflow (PERF.md round 4);
+    # disables the fused Pallas tails (their LN math is bf16-internal).
+    f32_stats: bool = False
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        if self.f32_stats:
+            def ln(name):
+                inner = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                     name=name)
+                return lambda t: inner(t).astype(self.dtype or t.dtype)
+        else:
+            ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,  # noqa: E731
+                                           name=name)
         x1 = ln("ln1")(x)
 
         fuse_block = (self.fused_mlp == "block"
                       and (self.drop_rate == 0.0 or deterministic)
-                      and not self.use_pallas and self.node_axis is None)
+                      and not self.use_pallas and self.node_axis is None
+                      and not self.f32_stats)
         if fuse_block:
             # fused_mlp="block": the v5 megablock kernel runs this block's
             # WHOLE edge stream (attention + tail) in one Pallas residency;
@@ -279,7 +304,8 @@ class EncoderBlock(nn.Module):
             return x, y
 
         x2, y1 = GraphMHA(self.dim, self.heads, self.dtype,
-                          self.use_pallas, self.node_axis, name="attn")(x1, y)
+                          self.use_pallas, self.node_axis,
+                          f32_stats=self.f32_stats, name="attn")(x1, y)
         x2 = x1 + x2            # residual vs the *normed* input (sic,
         # reference layers.py:187: x2 = x1 + x2)
         x2 = ln("ln3")(x2)
@@ -292,7 +318,8 @@ class EncoderBlock(nn.Module):
         mlp2 = MLP(self.dim, self.dim * self.mlp_ratio, self.dim,
                    self.drop_rate, self.dtype, name="mlp2")
         # dropout inside mlp2 breaks the fused tail's determinism contract
-        fuse = self.fused_mlp and (self.drop_rate == 0.0 or deterministic)
+        fuse = (self.fused_mlp and (self.drop_rate == 0.0 or deterministic)
+                and not self.f32_stats)
         if not fuse:
             y2 = ln4(y + y1)
             y = ln6(y2 + mlp2(y2, deterministic))
@@ -335,6 +362,7 @@ class _ScanBlock(nn.Module):
     deterministic: bool
     remat: bool
     node_axis: str | None = None
+    f32_stats: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -344,7 +372,7 @@ class _ScanBlock(nn.Module):
             block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
         x, y = block_cls(self.dim, self.heads, self.mlp_ratio,
                          self.drop_rate, self.dtype, self.use_pallas,
-                         self.fused_mlp, self.node_axis,
+                         self.fused_mlp, self.node_axis, self.f32_stats,
                          name="block")(x, y, self.deterministic)
         return (x, y), None
 
@@ -383,6 +411,7 @@ class TransformerEncoder(nn.Module):
     fused_mlp: bool = False
     scan_layers: bool = False
     node_axis: str | None = None
+    f32_stats: bool = False
 
     @nn.compact
     def __call__(self, x, y, deterministic: bool = True):
@@ -395,7 +424,7 @@ class TransformerEncoder(nn.Module):
             (x, y), _ = scanned(self.dim, self.heads, self.mlp_ratio,
                                 self.drop_rate, self.dtype, self.use_pallas,
                                 self.fused_mlp, deterministic, self.remat,
-                                self.node_axis,
+                                self.node_axis, self.f32_stats,
                                 name="blocks")((x, y), None)
             return x, y
         block_cls = EncoderBlock
@@ -406,7 +435,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.depth):
             x, y = block_cls(self.dim, self.heads, self.mlp_ratio,
                              self.drop_rate, self.dtype, self.use_pallas,
-                             self.fused_mlp, self.node_axis,
+                             self.fused_mlp, self.node_axis, self.f32_stats,
                              name=f"block_{i}")(x, y, deterministic)
         return x, y
 

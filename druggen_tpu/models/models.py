@@ -52,6 +52,8 @@ class _Trunk(nn.Module):
     fused_mlp: bool = False
     scan_layers: bool = False
     node_axis: str | None = None
+    # f32 LayerNorm/softmax escalation tier (see layers.EncoderBlock)
+    f32_stats: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -81,7 +83,7 @@ class _Trunk(nn.Module):
         node, edge = TransformerEncoder(
             self.dim, self.depth, self.heads, self.mlp_ratio, self.dropout,
             self.dtype, self.use_pallas, self.remat, self.fused_mlp,
-            self.scan_layers, self.node_axis,
+            self.scan_layers, self.node_axis, self.f32_stats,
             name="encoder")(
                 node, edge, deterministic)
         return node, edge
@@ -109,6 +111,7 @@ class Generator(nn.Module):
     fused_mlp: bool = False
     scan_layers: bool = False
     node_axis: str | None = None
+    f32_stats: bool = False
 
     @nn.compact
     def __call__(self, z_e, z_n, deterministic: bool = True):
@@ -116,6 +119,7 @@ class Generator(nn.Module):
                             self.dim, self.depth, self.heads, self.mlp_ratio,
                             self.dtype, self.use_pallas, self.remat,
                             self.fused_mlp, self.scan_layers, self.node_axis,
+                            self.f32_stats,
                             name="trunk")(z_e, z_n, deterministic)
         node_logits = _dense(self.nodes, self.dim, self.dtype,
                              name="readout_n")(node)
@@ -144,6 +148,7 @@ class Discriminator(nn.Module):
     fused_mlp: bool = False
     scan_layers: bool = False
     node_axis: str | None = None
+    f32_stats: bool = False
     # head_mult widens the critic head (64/32/16 -> 64m/32m/16m) for the
     # oscillation-ablation study ONLY; 1 is the reference topology
     # (models.py:180-209) and the checkpoint-interop contract.
@@ -156,6 +161,7 @@ class Discriminator(nn.Module):
                          self.dim, self.depth, self.heads, self.mlp_ratio,
                          self.dtype, self.use_pallas, self.remat,
                          self.fused_mlp, self.scan_layers, self.node_axis,
+                         self.f32_stats,
                          name="trunk")(z_e, z_n, deterministic)
         if self.node_axis:
             # critic head needs every node row of the sample; gather the

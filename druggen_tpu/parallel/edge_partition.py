@@ -136,14 +136,18 @@ def _slice_by_axis_index(full, axis_name: str, local: int):
 
 
 def _sharded_gradient_penalty(critic, real_node, real_edge, fake_node,
-                              fake_edge, key, b_glob: int):
+                              fake_edge, key, b_glob: int, cast_dtype=None):
     """Global gradient-penalty value computed on local shards (inside a
     shard_map body over ('data','node')).
 
     Mirrors losses.gradient_penalty (reference loss.py:4-49) including the
     eps draw: eps is sampled for the FULL global batch from the same key and
     sliced per data shard, so values match the unsharded step bit-for-bit.
-    Returns the global scalar (replicated on every device)."""
+    Returns the global scalar (replicated on every device).
+
+    ``cast_dtype``: cast the interpolants before differentiation (the
+    gp_f32 path — pass a critic whose apply is f32 alongside it; see
+    losses.gradient_penalty)."""
     b_loc = real_node.shape[0]
     k_node, k_edge = jax.random.split(key)
     eps_node = _slice_by_axis_index(
@@ -155,6 +159,9 @@ def _sharded_gradient_penalty(critic, real_node, real_edge, fake_node,
 
     int_node = eps_node * real_node + (1.0 - eps_node) * fake_node
     int_edge = eps_edge * real_edge + (1.0 - eps_edge) * fake_edge
+    if cast_dtype is not None:
+        int_node = int_node.astype(cast_dtype)
+        int_edge = int_edge.astype(cast_dtype)
 
     def critic_sum(node, edge):
         # the critic's value is replicated over 'node' via the invariant
@@ -164,8 +171,13 @@ def _sharded_gradient_penalty(critic, real_node, real_edge, fake_node,
 
     g_node, g_edge = jax.grad(critic_sum, argnums=(0, 1))(int_node,
                                                           int_edge)
-    sq = (jnp.sum(g_node.reshape(b_loc, -1) ** 2, axis=1)
-          + jnp.sum(g_edge.reshape(b_loc, -1) ** 2, axis=1))
+    # norm/penalty reduction in f32 regardless of compute dtype (matches
+    # losses.gradient_penalty: under bf16 the squared-sum/sqrt chain is
+    # the numerically sensitive part of the whole step)
+    sq = (jnp.sum(g_node.reshape(b_loc, -1).astype(jnp.float32) ** 2,
+                  axis=1)
+          + jnp.sum(g_edge.reshape(b_loc, -1).astype(jnp.float32) ** 2,
+                    axis=1))
     sq = jax.lax.psum(sq, "node")          # full per-sample squared norms
     norms = jnp.sqrt(sq + 1e-12)
     return jax.lax.psum(jnp.sum((norms - 1.0) ** 2), "data") / b_glob
@@ -174,7 +186,8 @@ def _sharded_gradient_penalty(critic, real_node, real_edge, fake_node,
 def make_sharded_train_step(g_model, d_model, g_opt, d_opt, mesh: Mesh, *,
                             lambda_gp: float, m_dim: int, b_dim: int,
                             submodel: str = "DrugGEN",
-                            compute_dtype=jnp.float32, donate: bool = True):
+                            compute_dtype=jnp.float32, donate: bool = True,
+                            gp_f32: bool = False, f32_stats: bool = False):
     """The complete WGAN-GP train step sharded over a ('data','node') mesh.
 
     Same signature and semantics as train.step.make_train_step's product:
@@ -198,8 +211,21 @@ def make_sharded_train_step(g_model, d_model, g_opt, d_opt, mesh: Mesh, *,
         "edge-partitioned training requires dropout=0"
     node_k = mesh.shape["node"]
     data_k = mesh.shape["data"]
+    if f32_stats and compute_dtype != jnp.float32:
+        # tier-2 numerics (see train.step.make_train_step): f32 LN/softmax
+        # reductions; the fused kernels (bf16-internal) drop out with it
+        g_model = g_model.clone(f32_stats=True, use_pallas=False,
+                                fused_mlp=False)
+        d_model = d_model.clone(f32_stats=True, use_pallas=False,
+                                fused_mlp=False)
     g_sh = g_model.clone(node_axis="node")
     d_sh = d_model.clone(node_axis="node")
+    # gp_f32: f32 critic clone for the GP pass + f32 interpolant cast
+    # (same escalation the single-device step got in round 4 — the bf16
+    # GP double-backward destabilizes once critic weights grow)
+    use_gp32 = gp_f32 and compute_dtype != jnp.float32
+    d_gp_sh = d_sh.clone(dtype=None) if use_gp32 else d_sh
+    gp_cast = jnp.float32 if use_gp32 else None
 
     rep = P()
     spec_n3 = P("data", "node", None)            # [B, N, m] blocks
@@ -242,11 +268,15 @@ def make_sharded_train_step(g_model, d_model, g_opt, d_opt, mesh: Mesh, *,
         def d_body(d_params, gp_key, disc_a_, disc_x_, fe, fn_):
             critic = lambda e, n: d_sh.apply(d_params, e, n,  # noqa: E731
                                              deterministic=True)
+            critic_gp = (lambda e, n: d_gp_sh.apply(  # noqa: E731
+                d_params, e.astype(jnp.float32), n.astype(jnp.float32),
+                deterministic=True)) if use_gp32 else critic
             lr = jax.lax.psum(jnp.sum(critic(disc_a_, disc_x_)),
                               "data") / b_glob
             lf = jax.lax.psum(jnp.sum(critic(fe, fn_)), "data") / b_glob
-            gp = _sharded_gradient_penalty(critic, disc_x_, disc_a_, fn_,
-                                           fe, gp_key, b_glob)
+            gp = _sharded_gradient_penalty(critic_gp, disc_x_, disc_a_, fn_,
+                                           fe, gp_key, b_glob,
+                                           cast_dtype=gp_cast)
             return lf - lr + lambda_gp * gp
 
         def d_loss_fn(d_params):

@@ -103,14 +103,59 @@ def latest_state_path(model_dir: str) -> str | None:
     return best
 
 
+_GUARD_FIELDS = {"notfinite_count", "total_notfinite", "inner_state"}
+
+
+def _migrate_guard_structure(raw: dict, tstate: dict) -> dict:
+    """Bridge the ``apply_if_all_finite`` wrapper across checkpoint eras.
+
+    The default-on non-finite guard (round 4) wraps each optimizer state in
+    an :class:`druggen_tpu.train.step.AllFiniteState`, changing the state
+    pytree: pre-round-4 full-state checkpoints no longer restore with
+    default flags, and guarded checkpoints fail under
+    ``--no_nonfinite_guard``.  Both mismatches are mechanical — wrap the
+    old inner state with zeroed counters, or unwrap ``inner_state`` —
+    so do that instead of surfacing an opaque structure error."""
+    out = dict(raw)
+    for key in ("g_opt_state", "d_opt_state"):
+        t, r = tstate.get(key), raw.get(key)
+        if not isinstance(t, dict) or not isinstance(r, dict):
+            continue
+        t_guarded = set(t) == _GUARD_FIELDS
+        r_guarded = set(r) == _GUARD_FIELDS
+        if t_guarded and not r_guarded:
+            import numpy as np
+
+            zero = np.zeros((), np.int32)
+            out[key] = {"notfinite_count": zero, "total_notfinite": zero,
+                        "inner_state": r}
+        elif r_guarded and not t_guarded:
+            out[key] = r["inner_state"]
+    return out
+
+
 def restore_state(model_dir: str, template: GANState,
                   path: str | None = None) -> GANState | None:
-    """Restore the newest (or an explicit) full-state checkpoint."""
+    """Restore the newest (or an explicit) full-state checkpoint.
+
+    Detects the guarded/unguarded optimizer-state layout mismatch (the
+    ``nonfinite_guard`` flag changed between save and restore) and migrates
+    the tree; any other structure mismatch raises with a message naming the
+    checkpoint instead of flax's opaque key error."""
     path = path or latest_state_path(model_dir)
     if path is None or not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        restored = serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    tstate = serialization.to_state_dict(template)
+    try:
+        restored = serialization.from_state_dict(
+            template, _migrate_guard_structure(raw, tstate))
+    except (KeyError, ValueError) as e:
+        raise ValueError(
+            f"checkpoint {path} does not match the current training state "
+            f"structure (model size/depth, optimizer, or guard flags "
+            f"changed since it was saved): {e}") from e
     # serialization returns the same pytree type as template
     return GANState(*restored) if not isinstance(restored, GANState) else restored
 

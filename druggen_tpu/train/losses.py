@@ -35,8 +35,15 @@ GeneratorFn = Callable[[jnp.ndarray, jnp.ndarray], tuple]
 def gradient_penalty(critic: CriticFn,
                      real_node: jnp.ndarray, real_edge: jnp.ndarray,
                      fake_node: jnp.ndarray, fake_edge: jnp.ndarray,
-                     key: jax.Array) -> jnp.ndarray:
-    """Reference ``gradient_penalty`` (loss.py:4-49)."""
+                     key: jax.Array, cast_dtype=None) -> jnp.ndarray:
+    """Reference ``gradient_penalty`` (loss.py:4-49).
+
+    ``cast_dtype``: cast the interpolation points to this dtype *before*
+    differentiation (the gp_f32 escalation path): ``jax.grad`` then returns
+    the input gradients in that dtype, so the whole
+    interpolant -> critic -> gradient -> norm chain is f32 with no bf16
+    rounding of the gradient values (the interpolants themselves are bf16
+    values, exactly representable in f32)."""
     b = real_node.shape[0]
     k_node, k_edge = jax.random.split(key)
     eps_node = jax.random.uniform(k_node, (b, 1, 1), real_node.dtype)
@@ -44,6 +51,9 @@ def gradient_penalty(critic: CriticFn,
 
     int_node = eps_node * real_node + (1.0 - eps_node) * fake_node
     int_edge = eps_edge * real_edge + (1.0 - eps_edge) * fake_edge
+    if cast_dtype is not None:
+        int_node = int_node.astype(cast_dtype)
+        int_edge = int_edge.astype(cast_dtype)
 
     def critic_sum(node, edge):
         return jnp.sum(critic(edge, node))
@@ -133,7 +143,8 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
                        lambda_gp: float, key: jax.Array,
                        gp_mode: str = "revrev",
                        critic_gp: CriticFn | None = None,
-                       critic_jvp: CriticFn | None = None) -> jnp.ndarray:
+                       critic_jvp: CriticFn | None = None,
+                       gp_cast=None) -> jnp.ndarray:
     """Reference ``discriminator_loss`` (loss.py:52-72): critic sees the real
     (drug) graphs and the generator's *logit* outputs (continuous
     relaxation, not argmax-discretized), with G frozen.
@@ -146,7 +157,10 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
     ``critic`` may use first-order-only fused kernels; the GP pass is
     double-differentiated and ``critic_gp`` must be fully twice-
     differentiable (XLA path).  Same parameters, same math — only the
-    execution schedule differs."""
+    execution schedule differs.
+
+    ``gp_cast``: dtype the GP interpolants are cast to before
+    differentiation (see :func:`gradient_penalty`)."""
     logits_real = critic(drug_edge, drug_node)
     _, _, node_logits, edge_logits = generator(mol_edge, mol_node)
     fake_node = jax.lax.stop_gradient(node_logits)
@@ -158,7 +172,7 @@ def discriminator_loss(generator: GeneratorFn, critic: CriticFn,
                                      critic_jvp=critic_jvp)
     else:
         gp = gradient_penalty(critic_gp or critic, drug_node, drug_edge,
-                              fake_node, fake_edge, key)
+                              fake_node, fake_edge, key, cast_dtype=gp_cast)
     return jnp.mean(logits_fake) - jnp.mean(logits_real) + lambda_gp * gp
 
 

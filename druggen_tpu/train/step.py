@@ -133,7 +133,7 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     compute_dtype=jnp.float32, donate: bool = True,
                     node_mode: str = "labels", gp_mode: str = "revrev",
                     share_fake="auto", fused_critic: bool = False,
-                    gp_f32: bool = False):
+                    gp_f32: bool = False, f32_stats: bool = False):
     """Build the jitted step.
 
     step(state, key, x [B,N] int labels, a_labels [B,N,N] int,
@@ -167,6 +167,23 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
     the fully twice-differentiable XLA path (``critic_gp``).  Identical
     parameters and math; pays off at critic depth > 1 where the edge
     stream is live between blocks."""
+    if f32_stats and compute_dtype != jnp.float32:
+        # f32-LN/softmax escalation tier (numerics ladder tier 2): the bf16
+        # forward itself sat at the numeric edge in the round-4
+        # reference-scale run.  Normalization + softmax reductions run in
+        # f32 (cast back to bf16 so the matmuls stay on the bf16 MXU
+        # path); the fused Pallas kernels are bf16-internal, so they drop
+        # out with it.
+        g_model = g_model.clone(f32_stats=True, use_pallas=False,
+                                fused_mlp=False)
+        d_model = d_model.clone(f32_stats=True, use_pallas=False,
+                                fused_mlp=False)
+        fused_critic = False
+    # gp_f32: the interpolants are cast to f32 BEFORE differentiation
+    # (losses.gradient_penalty cast_dtype), so the input gradients come
+    # back f32 — no bf16 rounding anywhere in the GP chain
+    gp_cast = jnp.float32 if (gp_f32 and compute_dtype != jnp.float32) \
+        else None
     if share_fake == "auto":
         share_fake = getattr(g_model, "dropout", 0.0) == 0.0
     elif share_fake and getattr(g_model, "dropout", 0.0) > 0.0:
@@ -217,16 +234,19 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
         d_apply_gp = d_apply
 
     if gp_f32 and compute_dtype != jnp.float32:
-        # Run the ENTIRE gradient-penalty pass (critic forward, input
-        # gradient, and its second-order backward) in f32: the bf16
-        # double-backward produced persistent NaNs once critic weights
-        # grew (~step 50k and again ~66k of the reference-scale run,
-        # PERF.md round 4), freezing D behind the non-finite guard.  The
-        # GP pass is one small critic fwd+bwd per step — the f32 upgrade
-        # costs a few percent and matches the reference's own (all-f32)
-        # numerics on exactly the numerically sensitive term.  Takes
-        # precedence over the fused-critic fwdrev routing (Pallas kernels
-        # are bf16-tiled).
+        # Run the gradient-penalty pass (critic forward, input gradient,
+        # and its second-order backward) in f32: the bf16 double-backward
+        # produced persistent NaNs once critic weights grew (~step 50k and
+        # again ~66k of the reference-scale run, PERF.md round 4), freezing
+        # D behind the non-finite guard.  The GP pass is one small critic
+        # fwd+bwd per step — the f32 upgrade costs a few percent and
+        # matches the reference's own (all-f32) numerics on exactly the
+        # numerically sensitive term.  In revrev mode the interpolants are
+        # cast f32 before differentiation (gp_cast above), so the chain is
+        # f32 end-to-end; in fwdrev mode the cast happens at this apply
+        # boundary and the returned input-gradient passes through one bf16
+        # rounding.  Takes precedence over the fused-critic fwdrev routing
+        # (Pallas kernels are bf16-tiled).
         d_model_gp32 = d_model.clone(dtype=None)
 
         def d_apply_gp(params, rng, e, n):  # noqa: F811
@@ -281,7 +301,8 @@ def make_train_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
             critic_jvp = partial(d_apply, d_params, k_ddrop)
             return discriminator_loss(generator_for_d, critic, disc_a,
                                       disc_x, a, x, lambda_gp, k_gp, gp_mode,
-                                      critic_gp, critic_jvp)
+                                      critic_gp, critic_jvp,
+                                      gp_cast=gp_cast)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
@@ -325,7 +346,7 @@ def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
                           node_mode: str = "labels",
                           gp_mode: str = "revrev",
                           fused_critic: bool = False,
-                          gp_f32: bool = False):
+                          gp_f32: bool = False, f32_stats: bool = False):
     """The single-jit iteration split into TWO compiled programs (D update
     incl. the GP double-backward; then G update) with the same
     step(state, key, x, a, dx, da) contract.
@@ -336,6 +357,16 @@ def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
     per iteration and re-runs the G forward in the G program (exactly the
     reference's own structure, train.py:352-384; `share_fake` cannot span
     programs).  Opt-in via --split_step."""
+
+    if f32_stats and compute_dtype != jnp.float32:
+        # tier-2 numerics (see make_train_step)
+        g_model = g_model.clone(f32_stats=True, use_pallas=False,
+                                fused_mlp=False)
+        d_model = d_model.clone(f32_stats=True, use_pallas=False,
+                                fused_mlp=False)
+        fused_critic = False
+    gp_cast = jnp.float32 if (gp_f32 and compute_dtype != jnp.float32) \
+        else None
 
     def g_apply(params, rng, e, n):
         return g_model.apply(params, e, n, deterministic=False,
@@ -395,7 +426,7 @@ def make_split_train_step(g_model, d_model, g_opt, d_opt, *,
             critic_gp = partial(d_apply_gp, d_params, k_ddrop)
             return discriminator_loss(generator_for_d, critic, disc_a,
                                       disc_x, a, x, lambda_gp, k_gp,
-                                      gp_mode, critic_gp)
+                                      gp_mode, critic_gp, gp_cast=gp_cast)
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state,
@@ -445,7 +476,8 @@ def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                     m_dim: int, b_dim: int, submodel: str = "DrugGEN",
                     compute_dtype=jnp.float32, donate: bool = True,
                     node_mode: str = "labels", gp_mode: str = "revrev",
-                    share_fake="auto", fused_critic: bool = False):
+                    share_fake="auto", fused_critic: bool = False,
+                    gp_f32: bool = False, f32_stats: bool = False):
     """K steps per dispatch via ``lax.scan`` — zero Python in the hot loop.
 
     multi_step(state, key, x [K,B,N], a [K,B,N,N], drug_x, drug_a)
@@ -460,7 +492,8 @@ def make_multi_step(g_model, d_model, g_opt, d_opt, *, lambda_gp: float,
                             submodel=submodel, compute_dtype=compute_dtype,
                             donate=False, node_mode=node_mode,
                             gp_mode=gp_mode, share_fake=share_fake,
-                            fused_critic=fused_critic)
+                            fused_critic=fused_critic, gp_f32=gp_f32,
+                            f32_stats=f32_stats)
     # reuse the *unjitted* semantics by calling through the jitted fn inside
     # scan is fine: jit-of-jit inlines.
 

@@ -68,9 +68,10 @@ class Trainer:
                   f"{len(jax.devices())} global devices")
 
         # ---- data (reference train.py:76-115)
-        self.vocab = vocab or get_vocab(cfg.raw_file, cfg.drug_raw_file,
-                                        cfg.max_atom,
-                                        cache_dir=os.path.join(cfg.mol_data_dir, "vocab"))
+        self.vocab = vocab or get_vocab(
+            cfg.raw_file, cfg.drug_raw_file, cfg.max_atom,
+            cache_dir=os.path.join(cfg.mol_data_dir, "vocab"),
+            union_ref12=getattr(cfg, "vocab_ref12", False))
         self.data = data if data is not None else load_dataset(
             cfg.raw_file, self.vocab, cfg.max_atom, cfg.mol_data_dir,
             features=cfg.features)
@@ -189,55 +190,54 @@ class Trainer:
             self.state = shard_gan_state_tp(self.mesh, state)
         else:
             self.state = shard_state(self.mesh, state)
-        gp_f32_cfg = getattr(cfg, "gp_f32", "auto")
-        if isinstance(gp_f32_cfg, bool):            # programmatic callers
-            gp_f32_cfg = "on" if gp_f32_cfg else "off"
-        if gp_f32_cfg not in ("auto", "on", "off"):
-            raise ValueError(f"gp_f32 must be auto/on/off, got {gp_f32_cfg!r}")
-        # "auto": start on the all-bf16 program (no GP cost), escalate to
-        # the f32-GP program the first time the fetched loss window shows
-        # a non-finite value (_maybe_escalate_gp) — the bf16 GP is only
-        # unstable once critic weights have grown (PERF.md round 4)
-        self._gp_escalation_armed = (gp_f32_cfg == "auto"
-                                     and self.compute_dtype != jnp.float32
-                                     and self.node_k == 1)
+        # ---- numerics ladder (PERF.md rounds 4-5): under bf16 compute the
+        # step escalates through progressively safer/slower programs the
+        # first time the fetched loss window shows a non-finite value:
+        #   tier 0  all-bf16 (fastest; GP NaNs once critic weights grow)
+        #   tier 1  f32 gradient-penalty pass        (gp_f32)
+        #   tier 2  + f32 LayerNorm/softmax reductions (f32_stats)
+        #   tier 3  whole step in f32 — the reference's own numerics
+        # Each tier is one recompile against the same state object; the
+        # non-finite barrier (apply_if_all_finite) keeps params clean
+        # through the triggering steps.
+        def _mode(name, default="auto", allowed=("auto", "on", "off")):
+            v = getattr(cfg, name, default)
+            if isinstance(v, bool):                 # programmatic callers
+                v = "on" if v else "off"
+            if v not in allowed:
+                raise ValueError(f"{name} must be one of {allowed}, "
+                                 f"got {v!r}")
+            return v
+
+        gp_f32_cfg = _mode("gp_f32")
+        f32_stats_cfg = _mode("f32_stats")
+        f32_full_cfg = _mode("f32_full", allowed=("auto", "off", "on"))
+        if self.compute_dtype == jnp.float32:
+            start_tier, ladder = 0, []
+        else:
+            start_tier = (2 if f32_stats_cfg == "on"
+                          else 1 if gp_f32_cfg == "on" else 0)
+            allowed = {1: gp_f32_cfg == "auto", 2: f32_stats_cfg == "auto",
+                       3: f32_full_cfg == "auto"}
+            ladder = [t for t in (1, 2, 3)
+                      if t > start_tier and allowed[t]]
+        self._numerics_tier = start_tier
+        self._ladder = ladder
+        self._ladder_exhausted_warned = False
         step_kwargs = dict(lambda_gp=cfg.lambda_gp, m_dim=self.m_dim,
                            b_dim=self.b_dim, submodel=cfg.submodel,
                            compute_dtype=self.compute_dtype,
                            node_mode="dense" if cfg.features else "labels",
                            gp_mode=getattr(cfg, "gp_mode", "revrev"),
-                           gp_f32=(gp_f32_cfg == "on"),
                            fused_critic=("block" if getattr(
                                cfg, "fused_block", False)
                                else getattr(cfg, "fused_critic", False)))
         self._step_kwargs = step_kwargs
-        self.multi_step_fn = None
-        if self.node_k > 1:
-            # full WGAN-GP step under shard_map on ('data','node'); the
-            # fused_critic/gp_mode/steps_per_dispatch knobs apply to the
-            # single-device step only
-            self.step_fn = make_sharded_train_step(
-                self.G, self.D, self.g_opt, self.d_opt, self.mesh,
-                lambda_gp=cfg.lambda_gp, m_dim=self.m_dim, b_dim=self.b_dim,
-                submodel=cfg.submodel, compute_dtype=self.compute_dtype)
-            if cfg.steps_per_dispatch > 1:
-                print("mesh_node > 1: steps_per_dispatch ignored")
-        elif getattr(cfg, "split_step", False):
-            from druggen_tpu.train.step import make_split_train_step
-
-            kw = {k: v for k, v in step_kwargs.items()}
-            self.step_fn = make_split_train_step(
-                self.G, self.D, self.g_opt, self.d_opt, **kw)
-            if cfg.steps_per_dispatch > 1:
-                print("split_step: steps_per_dispatch ignored")
-        else:
-            self.step_fn = make_train_step(self.G, self.D, self.g_opt,
-                                           self.d_opt, **step_kwargs)
-            if cfg.steps_per_dispatch > 1:
-                from druggen_tpu.train.step import make_multi_step
-
-                self.multi_step_fn = make_multi_step(
-                    self.G, self.D, self.g_opt, self.d_opt, **step_kwargs)
+        if self.node_k > 1 and cfg.steps_per_dispatch > 1:
+            print("mesh_node > 1: steps_per_dispatch ignored")
+        if getattr(cfg, "split_step", False) and cfg.steps_per_dispatch > 1:
+            print("split_step: steps_per_dispatch ignored")
+        self._build_step_fns(start_tier)
 
         # ---- dirs + logging (reference train.py:283-289)
         self.run_name = cfg.run_name
@@ -285,35 +285,87 @@ class Trainer:
                 f.write(f"Total number of parameters: {n_params}\n")
 
     # ------------------------------------------------------------------
-    def _escalate_gp(self) -> None:
-        """Swap the jitted step for the f32-GP variant (gp_f32="auto").
+    def _build_step_fns(self, tier: int) -> None:
+        """(Re)build the jitted step for a numerics-ladder tier (the
+        escalation recompile target; also called once from __init__)."""
+        cfg = self.cfg
+        G, D = self.G, self.D
+        kw = dict(self._step_kwargs,
+                  gp_f32=tier >= 1, f32_stats=tier >= 2)
+        if tier >= 3:
+            # whole step in f32 (reference numerics); params are f32
+            # masters already, so the same state object carries over
+            G = G.clone(dtype=None, use_pallas=False, fused_mlp=False)
+            D = D.clone(dtype=None, use_pallas=False, fused_mlp=False)
+            kw.update(compute_dtype=jnp.float32, fused_critic=False,
+                      gp_f32=False, f32_stats=False)
+        self.multi_step_fn = None
+        if self.node_k > 1:
+            from druggen_tpu.parallel.edge_partition import (
+                make_sharded_train_step,
+            )
 
-        Called once, from the loss-flush path, the first time a fetched
-        loss is non-finite: the all-bf16 GP program is full speed but its
-        double-backward destabilizes once critic weights grow (PERF.md
-        round 4 — NaN at ~50k/66k steps, -20% to run f32 from step 0).
-        The swap costs one recompile; the optimizer/state structure is
-        identical, so training continues from the same state object — and
-        the non-finite barrier has already kept the params clean through
-        the triggering step."""
-        self._gp_escalation_armed = False
-        kw = dict(self._step_kwargs, gp_f32=True)
-        print("gp_f32=auto: non-finite loss detected — escalating the "
-              "gradient-penalty pass to f32 (one-time recompile)",
-              flush=True)
-        if getattr(self.cfg, "split_step", False):
+            # full WGAN-GP step under shard_map on ('data','node'); the
+            # fused_critic/gp_mode/steps_per_dispatch knobs apply to the
+            # single-device step only
+            self.step_fn = make_sharded_train_step(
+                G, D, self.g_opt, self.d_opt, self.mesh,
+                lambda_gp=cfg.lambda_gp, m_dim=self.m_dim,
+                b_dim=self.b_dim, submodel=cfg.submodel,
+                compute_dtype=kw["compute_dtype"],
+                gp_f32=kw["gp_f32"], f32_stats=kw["f32_stats"])
+        elif getattr(cfg, "split_step", False):
             from druggen_tpu.train.step import make_split_train_step
 
+            kw.pop("share_fake", None)
             self.step_fn = make_split_train_step(
-                self.G, self.D, self.g_opt, self.d_opt, **kw)
+                G, D, self.g_opt, self.d_opt, **kw)
         else:
-            self.step_fn = make_train_step(self.G, self.D, self.g_opt,
-                                           self.d_opt, **kw)
-            if self.multi_step_fn is not None:
+            self.step_fn = make_train_step(G, D, self.g_opt, self.d_opt,
+                                           **kw)
+            if cfg.steps_per_dispatch > 1:
                 from druggen_tpu.train.step import make_multi_step
 
                 self.multi_step_fn = make_multi_step(
-                    self.G, self.D, self.g_opt, self.d_opt, **kw)
+                    G, D, self.g_opt, self.d_opt, **kw)
+
+    @property
+    def _gp_escalation_armed(self) -> bool:
+        """Back-compat view: True while the gp_f32 tier can still fire."""
+        return 1 in self._ladder
+
+    def _escalate_gp(self) -> None:
+        """Back-compat alias: advance the ladder one tier (historically the
+        only escalation was bf16 -> f32 GP)."""
+        self._escalate_numerics()
+
+    def _escalate_numerics(self) -> None:
+        """Advance to the next numerics-ladder tier (see __init__).
+
+        Called from the loss-flush path each time a fetched loss window is
+        non-finite and a higher tier remains: one recompile, same state
+        object (the non-finite barrier has kept params clean through the
+        triggering steps).  A window that goes non-finite AFTER the final
+        tier means the nets themselves are stuck (CLAUDE.md: persistent
+        nan d_loss = frozen critic) — warn once, keep training behind the
+        barrier."""
+        if not self._ladder:
+            if not self._ladder_exhausted_warned:
+                self._ladder_exhausted_warned = True
+                print("numerics ladder exhausted: losses still non-finite "
+                      "on the highest-precision program — params are "
+                      "protected by the finite barrier, but the run needs "
+                      "investigation (frozen critic?)", flush=True)
+            return
+        tier = self._ladder.pop(0)
+        self._numerics_tier = tier
+        names = {1: "f32 gradient-penalty pass",
+                 2: "f32 gradient penalty + f32 LayerNorm/softmax",
+                 3: "full-f32 step (reference numerics)"}
+        print(f"numerics ladder: non-finite loss detected — escalating to "
+              f"tier {tier}: {names[tier]} (one-time recompile)",
+              flush=True)
+        self._build_step_fns(tier)
 
     def _work_items(self, mol_iter, drug_iter, K: int, start_step: int = 0):
         """Per-dispatch work stream: ``(epoch, it_after, n_steps, arrays,
@@ -425,8 +477,8 @@ class Trainer:
                                  "d_loss": d_val, "g_loss": g_val},
                                 step=st_, echo=(it_ % 50 < kw))
             pending.clear()
-            if saw_nonfinite and self._gp_escalation_armed:
-                self._escalate_gp()
+            if saw_nonfinite:
+                self._escalate_numerics()
 
         from druggen_tpu.utils.prefetch import prefetch
 

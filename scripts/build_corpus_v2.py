@@ -42,6 +42,13 @@ def main() -> None:
                     help="skip the defensive child re-parse (~30%% faster; "
                          "the dataset featurizer re-parses and filters "
                          "anyway)")
+    ap.add_argument("--inject_ref12", type=int, default=0, metavar="K",
+                    help="append K copies of the rare-element supplement "
+                         "(Ca/K/As molecules — reference README.md:141-145 "
+                         "atom types the recombination pool lacks) so a "
+                         "--vocab_ref12 model sees every atom type during "
+                         "training; K>1 repeats the set to raise its "
+                         "sampling weight")
     args = ap.parse_args()
 
     parents = read_smiles_file(args.parents)
@@ -83,8 +90,23 @@ def main() -> None:
         jobs = [(parents, per, next_seed + k, False,
                  not args.no_roundtrip_guard) for k in range(args.jobs)]
         next_seed += args.jobs
+        before = len(out)
         merge(run_jobs(jobs))
         print(f"top-up (seed {next_seed - args.jobs}): now {len(out)} unique")
+        if len(out) == before:
+            # zero-progress pass: the parent pool cannot produce args.n
+            # unique molecules — rerunning with fresh seeds would loop
+            # forever, so fail loudly with what exists
+            raise RuntimeError(
+                f"top-up pass added no new unique molecules "
+                f"({len(out)}/{args.n}); the parent pool is exhausted — "
+                f"lower --n or provide more parents")
+    if args.inject_ref12 > 0:
+        from druggen_tpu.data.corpus import REF12_SUPPLEMENT
+
+        out.extend(REF12_SUPPLEMENT * args.inject_ref12)
+        print(f"injected rare-element supplement: "
+              f"{len(REF12_SUPPLEMENT)} molecules x {args.inject_ref12}")
     with open(args.out, "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote {args.out}: {len(out)} molecules in {time.time()-t0:.0f}s")
