@@ -235,6 +235,11 @@ def main():
     p.add_argument("--gen-ckpt", default=None,
                    help="path to a generator .ckpt; mines real failure "
                         "pairs from its argmax outputs")
+    p.add_argument("--pairs-file", default=None,
+                   help="JSON of pre-mined failure pairs "
+                        "(scripts/mine_corrector_pairs.py output) — the "
+                        "multi-checkpoint, >=10k-pair path; combinable "
+                        "with --gen-ckpt")
     p.add_argument("--drug-smiles", default=None,
                    help="drug .smi used when training the generator (the "
                         "vocab is the union of both files)")
@@ -271,8 +276,22 @@ def main():
         corpus = DRUGLIKE_SMILES + TARGET_SMILES + generate_corpus(400)
 
     extra_pairs, holdout = [], []
+    pairs = []
+    if args.pairs_file:
+        with open(args.pairs_file) as f:
+            d = json.load(f)
+        pairs += [tuple(x) for x in (d["pairs"] if isinstance(d, dict)
+                                     else d)]
+        print(f"loaded {len(pairs)} pre-mined pairs from "
+              f"{args.pairs_file}")
     if args.gen_ckpt:
-        pairs = mine_failure_pairs(args, corpus)
+        pairs += mine_failure_pairs(args, corpus)
+    if pairs:
+        import random as _random
+
+        # deterministic shuffle so the holdout spans all source
+        # checkpoints, not just the first-mined ones
+        _random.Random(13).shuffle(pairs)
         n_hold = max(1, int(len(pairs) * args.holdout_frac))
         holdout, extra_pairs = pairs[:n_hold], pairs[n_hold:]
 
