@@ -22,6 +22,51 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# The reference's published asset folder (setup.sh:68: ChEMBL/AKT1/CDK2
+# corpora, encoders/decoders, released checkpoints).
+DRIVE_FOLDER_ID = "1k-amlOwNQEWGx751MtWZc4SbZCUs8iqK"
+
+
+def try_download(data_dir: str) -> bool:
+    """Attempt the reference's Google Drive asset pull (setup.sh:33-99).
+
+    Mirrors setup.sh's own ladder: gdown if importable, plain HTTPS reach
+    check otherwise, and — exactly like the reference (setup.sh:89,166) —
+    fall back to printed manual-download instructions when neither works
+    (e.g. this egress-blocked environment).  Returns True if assets
+    landed."""
+    url = f"https://drive.google.com/drive/folders/{DRIVE_FOLDER_ID}"
+    try:
+        import gdown  # the reference pip-installs this (setup.sh:43-45)
+    except ImportError:
+        gdown = None
+    if gdown is not None:
+        tmp = os.path.join(data_dir, "_drive_tmp")
+        try:
+            gdown.download_folder(id=DRIVE_FOLDER_ID, output=tmp,
+                                  quiet=False, use_cookies=False)
+            return True
+        except Exception as e:
+            print(f"gdown download failed: {e}")
+    else:
+        # connectivity probe only — a Drive *folder* cannot be fetched
+        # with plain urllib (the listing is JS-rendered), so without
+        # gdown the honest outcome is the manual path
+        try:
+            import urllib.request
+
+            urllib.request.urlopen(url, timeout=10)
+            print("network reachable, but the gdown package is required "
+                  "to pull a Drive folder (reference setup.sh:43-45)")
+        except Exception as e:
+            print(f"no network egress ({type(e).__name__}) — offline mode")
+    print("Manual download (reference setup.sh fallback):\n"
+          f"1. Visit {url}\n"
+          f"2. Download the folder and extract into {data_dir}/\n"
+          "3. Re-run this script to verify the layout")
+    return False
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", default="data")
@@ -30,7 +75,15 @@ def main():
     p.add_argument("--max-atom", type=int, default=45)
     p.add_argument("--n-generated", type=int, default=500,
                    help="extra procedurally generated molecules")
+    p.add_argument("--download", action="store_true",
+                   help="attempt the reference's Google Drive asset pull "
+                        "first (setup.sh:33-99); falls back to the "
+                        "built-in corpora offline")
     args = p.parse_args()
+
+    if args.download:
+        os.makedirs(args.data_dir, exist_ok=True)
+        try_download(args.data_dir)
 
     from druggen_tpu.chem.vocab import get_vocab, read_smiles_file
     from druggen_tpu.data.corpus import (
