@@ -34,7 +34,7 @@ python inference.py --submodel DrugGEN \
   --inf_smiles data/chembl_frag_1m6.smi --train_smiles data/chembl_frag_1m6.smi \
   --train_drug_smiles data/akt1_drugs_2607.smi \
   --compute_dtype bfloat16 --fused_mlp \
-  --output_dir $R/inference --disable_correction \
+  --output_dir $R/inference \
   2>&1 | tee $R/inference.log
 
 python evaluate.py \
